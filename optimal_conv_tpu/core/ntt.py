@@ -1,0 +1,248 @@
+"""Negacyclic NTT/iNTT over RNS limb arrays, plus Galois automorphisms.
+
+Replaces ``ring/ring_ntt.go`` + ``ring/ring_automorphism.go`` of the Go
+Lattigo fork consumed by dwkim606/optimal_conv (SURVEY.md C2/C3), but
+designed for TPU: polynomials are ``[L, N]`` uint64 arrays (limb-major);
+each butterfly stage is one fused elementwise pass over the whole array
+(VPU-bound), expressed with static reshapes so XLA sees ``2·logN``
+fixed-shape elementwise kernels per transform.  The twist by the 2N-th
+root ψ is merged into the twiddle tables (Longa–Naehrig), so negacyclic
+wrap-around needs no separate pre/post pass.
+
+Layout conventions:
+* Forward NTT: natural-order coefficients → **bit-reversed** evaluation
+  order.  NTT-domain data stays bit-reversed everywhere (pointwise ops
+  don't care; the automorphism permutation accounts for it).
+* Position ``j`` of the NTT output holds ``p(ψ^{e(j)})`` with
+  ``e(j) = 2·brv(j) + 1`` (verified at table-build time).  A Galois
+  automorphism ``X → X^g`` is then the NTT-domain permutation
+  ``out[j] = in[pos(e(j)·g mod 2N)]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modmath as mm
+
+
+def bit_reverse_perm(n: int) -> np.ndarray:
+    """Permutation p with p[i] = bit-reversal of i at width log2(n)."""
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(logn):
+        out |= ((idx >> b) & 1) << (logn - 1 - b)
+    return out.astype(np.int64)
+
+
+def _pow_table(base: int, q: int, n: int) -> np.ndarray:
+    """[base^0, base^1, …, base^{n-1}] mod q as uint64 (host-side)."""
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * base % q
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_for_prime(q: int, log_n: int) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """(psi_br_mont[N], ipsi_br_mont[N], n_inv_mont, psi) for one prime."""
+    n = 1 << log_n
+    psi = mm.root_of_unity(q, 2 * n)
+    r = (1 << 64) % q
+    br = bit_reverse_perm(n)
+    pows = _pow_table(psi, q, n)            # psi^j
+    inv_psi = pow(psi, -1, q)
+    ipows = _pow_table(inv_psi, q, n)       # psi^-j
+    psi_br = pows[br]
+    ipsi_br = ipows[br]
+    # to Montgomery form (host-side, python ints are fine here)
+    psi_br_m = (psi_br.astype(object) * r % q).astype(np.uint64)
+    ipsi_br_m = (ipsi_br.astype(object) * r % q).astype(np.uint64)
+    n_inv_m = pow(n, -1, q) * r % q
+    return psi_br_m, ipsi_br_m, n_inv_m, psi
+
+
+class NttContext:
+    """Precomputed NTT tables for a list of RNS moduli at ring degree 2^log_n.
+
+    All tables are stacked limb-major so a transform over ``[L, N]`` data
+    is a single vectorized pass per stage across every limb at once.
+    """
+
+    def __init__(self, moduli: list[int], log_n: int):
+        self.log_n = log_n
+        self.n = 1 << log_n
+        self.moduli = [int(q) for q in moduli]
+        L = len(self.moduli)
+
+        psi_tab = np.empty((L, self.n), dtype=np.uint64)
+        ipsi_tab = np.empty((L, self.n), dtype=np.uint64)
+        ninv = np.empty((L, 1), dtype=np.uint64)
+        self.psi = []
+        for i, q in enumerate(self.moduli):
+            p, ip, nim, psi = _tables_for_prime(q, log_n)
+            psi_tab[i] = p
+            ipsi_tab[i] = ip
+            ninv[i, 0] = nim
+            self.psi.append(psi)
+
+        # host-side master tables; sliced per static limb subset on demand
+        self._np_q = np.array(self.moduli, dtype=np.uint64)[:, None]
+        self._np_qinv = np.array([mm.mont_qinv(q) for q in self.moduli],
+                                 dtype=np.uint64)[:, None]
+        self._np_r2 = np.array([mm.mont_r2(q) for q in self.moduli],
+                               dtype=np.uint64)[:, None]
+        self._np_r1 = np.array([(1 << 64) % q for q in self.moduli],
+                               dtype=np.uint64)[:, None]
+        self._np_psi = psi_tab
+        self._np_ipsi = ipsi_tab
+        self._np_ninv = ninv
+        self._cache: dict = {}
+
+        all_idx = tuple(range(L))
+        (self.q, self.qinv, self.r2, self.r1, self.psi_br_mont,
+         self.ipsi_br_mont, self.n_inv_mont) = self.tabs(all_idx)
+
+    def tabs(self, idx: tuple[int, ...]):
+        """(q, qinv, r2, r1, psi, ipsi, ninv) jnp tables for a static limb subset."""
+        got = self._cache.get(idx)
+        if got is None:
+            sel = list(idx)
+            got = tuple(jnp.asarray(t[sel]) for t in (
+                self._np_q, self._np_qinv, self._np_r2, self._np_r1,
+                self._np_psi, self._np_ipsi, self._np_ninv))
+            self._cache[idx] = got
+        return got
+
+    # -- transforms -------------------------------------------------------
+
+    def ntt(self, a: jnp.ndarray, idx: tuple[int, ...] | None = None) -> jnp.ndarray:
+        """Forward negacyclic NTT.  a: [..., l, N] natural order → bit-rev.
+
+        idx: which context limbs the l rows of `a` correspond to
+        (static); defaults to the first l limbs.
+        """
+        idx = tuple(range(a.shape[-2])) if idx is None else idx
+        q, qinv, _, _, psi, _, _ = self.tabs(idx)
+        return _ntt_fwd(a, psi, q, qinv, self.log_n)
+
+    def intt(self, a: jnp.ndarray, idx: tuple[int, ...] | None = None) -> jnp.ndarray:
+        """Inverse negacyclic NTT.  a: [..., l, N] bit-rev → natural order."""
+        idx = tuple(range(a.shape[-2])) if idx is None else idx
+        q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
+        return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)
+
+
+@functools.partial(jax.jit, static_argnames="log_n")
+def _ntt_fwd(a, psi_br, q, qinv, log_n):
+    n = 1 << log_n
+    shape = a.shape
+    lead = shape[:-1]
+    m = 1
+    t = n
+    while m < n:
+        t //= 2
+        s = psi_br[..., m:2 * m]                       # [L, m]
+        blk = a.reshape(lead + (m, 2, t))
+        u = blk[..., 0, :]
+        v = mm.mont_mul(blk[..., 1, :], s[..., :, None], q[..., None], qinv[..., None])
+        a = jnp.stack([mm.add_mod(u, v, q[..., None]),
+                       mm.sub_mod(u, v, q[..., None])], axis=-2).reshape(shape)
+        m *= 2
+    return a
+
+
+@functools.partial(jax.jit, static_argnames="log_n")
+def _ntt_inv(a, ipsi_br, n_inv, q, qinv, log_n):
+    n = 1 << log_n
+    shape = a.shape
+    lead = shape[:-1]
+    t = 1
+    m = n
+    while m > 1:
+        h = m // 2
+        s = ipsi_br[..., h:2 * h]                      # [L, h]
+        blk = a.reshape(lead + (h, 2, t))
+        u = blk[..., 0, :]
+        v = blk[..., 1, :]
+        a = jnp.stack([mm.add_mod(u, v, q[..., None]),
+                       mm.mont_mul(mm.sub_mod(u, v, q[..., None]), s[..., :, None],
+                                   q[..., None], qinv[..., None])],
+                      axis=-2).reshape(shape)
+        t *= 2
+        m = h
+    return mm.mont_mul(a, n_inv, q, qinv)
+
+
+# ---------------------------------------------------------------------------
+# Galois automorphisms  X → X^g  (g odd, mod 2N)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ntt_exponent_map(log_n: int) -> np.ndarray:
+    """e(j): NTT output position j evaluates p at ψ^{e(j)}.
+
+    For the merged-twist CT network above this is 2·brv(j)+1; we compute
+    it from first principles (cheap) so a future change of butterfly
+    network can't silently break automorphisms — the identity is
+    asserted against a tiny reference transform in tests.
+    """
+    n = 1 << log_n
+    br = bit_reverse_perm(n)
+    return (2 * br + 1).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def galois_perm_ntt(log_n: int, g: int) -> np.ndarray:
+    """Permutation π with (φ_g a)^[j] = a^[π(j)] for NTT-domain (bit-rev) data."""
+    n = 1 << log_n
+    e = _ntt_exponent_map(log_n)             # position → exponent
+    pos_of = np.empty(2 * n, dtype=np.int64)  # exponent → position (odd only)
+    pos_of[e] = np.arange(n)
+    src_exp = (e * (g % (2 * n))) % (2 * n)
+    return pos_of[src_exp]
+
+
+@functools.lru_cache(maxsize=None)
+def galois_perm_coeff(log_n: int, g: int) -> tuple[np.ndarray, np.ndarray]:
+    """(src, flip) with (φ_g a)[k] = ±a[src[k]] for coefficient-domain data.
+
+    φ_g maps X^i → X^{i·g mod 2N} with X^N = -1; flip[k]=1 where a sign
+    flip applies.
+    """
+    n = 1 << log_n
+    i = np.arange(n, dtype=np.int64)
+    dest = (i * (g % (2 * n))) % (2 * n)
+    sign_flip = dest >= n
+    dest = np.where(sign_flip, dest - n, dest)
+    src = np.empty(n, dtype=np.int64)
+    flip = np.empty(n, dtype=bool)
+    src[dest] = i
+    flip[dest] = sign_flip
+    return src, flip
+
+
+def apply_galois_ntt(a: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """Automorphism on NTT-domain [..., L, N] data: pure gather."""
+    return jnp.take(a, perm, axis=-1)
+
+
+def apply_galois_coeff(a: jnp.ndarray, src: jnp.ndarray, flip: jnp.ndarray,
+                       q: jnp.ndarray) -> jnp.ndarray:
+    g = jnp.take(a, src, axis=-1)
+    return jnp.where(flip, mm.neg_mod(g, q), g)
+
+
+def rot_to_galois(k: int, log_n: int) -> int:
+    """Slot rotation by k ↔ Galois element 5^k mod 2N (Lattigo convention)."""
+    return pow(5, k, 1 << (log_n + 1))
+
+
+CONJ_GALOIS = -1  # X → X^{2N-1}: use g = 2*n - 1

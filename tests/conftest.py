@@ -1,0 +1,23 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Sharding logic is validated on a fake CPU mesh (the reference has no
+distributed tests at all — SURVEY.md §4.7); real-TPU execution is
+exercised by bench.py / the driver.
+
+Note: this environment preimports jax (sitecustomize) with
+JAX_PLATFORMS=axon pointing at a remote TPU; the backend initializes
+lazily, so flipping the platform here (before any device use) is
+sufficient and keeps the test-suite off the TPU tunnel.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
