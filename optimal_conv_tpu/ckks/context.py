@@ -1,0 +1,465 @@
+"""CKKS scheme context: keys + evaluator.
+
+Replaces the fork's ``rlwe/{keygen,keys,keyswitch,encryptor,decryptor}.go``
+and ``ckks/evaluator.go`` (SURVEY.md C4–C8, C11, C13): sparse-ternary
+keygen, symmetric encryption, hybrid RNS key-switching with special
+primes P, Galois rotations (plus hoisted multi-rotation), relinearization,
+rescaling, and the Lattigo scale-management semantics the reference
+depends on (SetScale / MulByPow2 / AddConst / DropLevel — see
+/root/reference/conv.go:473-528).
+
+Design notes (TPU-first):
+* All polynomials are [l+1, N] uint64, NTT(bit-rev) domain, standard
+  form; level ℓ ciphertexts carry exactly ℓ+1 limbs → static shapes.
+* Switching keys are generated *at the level where they are used*
+  (cache key (tag, level)); the reference instead materializes every key
+  at full level, which is where its ~100 GB footprint comes from
+  (/root/reference/README.md:67).
+* Key-switch inner product and NTTs are the hot path; they are pure
+  jnp on purpose — XLA fuses the elementwise chains; Pallas variants
+  can swap in underneath without changing this layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import modmath as mm
+from ..core import ntt as nttmod
+from .params import CkksParams
+from .types import Ciphertext, Plaintext
+from .encoding import Encoder
+
+
+@dataclass
+class SwitchingKey:
+    d0: jnp.ndarray          # [beta, l+1+P, N]  NTT + Montgomery
+    d1: jnp.ndarray
+    level: int
+
+
+class CkksContext:
+    def __init__(self, params: CkksParams, seed: int = 0):
+        self.params = params
+        self.encoder = Encoder(params)
+        self.rng = np.random.default_rng(seed)
+        p = params
+
+        # ---- secret key: sparse ternary, h nonzeros ---------------------
+        n = p.n
+        s = np.zeros(n, dtype=np.int64)
+        support = self.rng.choice(n, size=p.h, replace=False)
+        signs = self.rng.integers(0, 2, size=p.h) * 2 - 1
+        s[support] = signs
+        self._sk_ints = s
+        all_idx = tuple(range(len(p.moduli)))
+        sk_res = mm.centered_to_residues(s, p.moduli)
+        self.sk_ntt = p.ntt.ntt(jnp.asarray(sk_res), all_idx)     # [LQP, N]
+
+        # s^2 (for relinearization): exact integer square via negacyclic conv
+        s2 = _negacyclic_int_conv(s, s)
+        sk2_res = mm.centered_to_residues(s2, p.moduli)
+        self.sk2_ntt = p.ntt.ntt(jnp.asarray(sk2_res), all_idx)
+
+        self._swk_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # sampling helpers
+    # ------------------------------------------------------------------
+
+    def _gauss_ints(self) -> np.ndarray:
+        return np.round(self.rng.normal(0.0, self.params.sigma, self.params.n)
+                        ).astype(np.int64)
+
+    def _uniform_poly(self, idx: tuple[int, ...]) -> jnp.ndarray:
+        """Uniform element of the RNS ring on limbs idx (NTT domain)."""
+        p = self.params
+        rows = [self.rng.integers(0, p.moduli[i], size=p.n, dtype=np.uint64)
+                for i in idx]
+        return jnp.asarray(np.stack(rows))
+
+    # ------------------------------------------------------------------
+    # encryption / decryption (symmetric; reference uses sk-encryption)
+    # ------------------------------------------------------------------
+
+    def encrypt(self, pt: Plaintext) -> Ciphertext:
+        p = self.params
+        level = pt.level
+        idx = p.q_idx(level)
+        q, qinv, r2, _, _, _, _ = p.ntt.tabs(idx)
+        c1 = self._uniform_poly(idx)
+        e = mm.centered_to_residues(self._gauss_ints(), p.q_moduli[: level + 1])
+        e_ntt = p.ntt.ntt(jnp.asarray(e), idx)
+        sk = self.sk_ntt[np.asarray(idx)]
+        m = pt.poly
+        if pt.is_mont:
+            m = mm.from_mont(m, q, qinv)
+        c1s = mm.mul_mod(c1, sk, q, qinv, r2)
+        c0 = mm.add_mod(mm.sub_mod(e_ntt, c1s, q), m, q)
+        return Ciphertext(c0, c1, level=level, scale=pt.scale)
+
+    def decrypt_to_coeffs(self, ct: Ciphertext) -> np.ndarray:
+        """→ [l+1, N] coefficient-domain residues of m + noise."""
+        p = self.params
+        idx = p.q_idx(ct.level)
+        q, qinv, r2, _, _, _, _ = p.ntt.tabs(idx)
+        sk = self.sk_ntt[np.asarray(idx)]
+        m = mm.add_mod(ct.c0, mm.mul_mod(ct.c1, sk, q, qinv, r2), q)
+        return np.asarray(p.ntt.intt(m, idx))
+
+    def decrypt_decode_coeffs(self, ct: Ciphertext) -> np.ndarray:
+        return self.encoder.decode_coeffs(self.decrypt_to_coeffs(ct), ct.scale)
+
+    def decrypt_decode_slots(self, ct: Ciphertext, log_slots=None) -> np.ndarray:
+        return self.encoder.decode_slots(self.decrypt_to_coeffs(ct), ct.scale,
+                                         log_slots)
+
+    # ------------------------------------------------------------------
+    # switching keys
+    # ------------------------------------------------------------------
+
+    def gen_switching_key(self, s_from_ntt: jnp.ndarray, level: int) -> SwitchingKey:
+        """Key switching s_from → s, generated at `level` (hybrid, P primes).
+
+        d0_d = -a_d·s + e_d + P·w_d·s_from  (w_d = CRT indicator of digit d)
+        stored NTT+Montgomery.
+        """
+        p = self.params
+        qp = p.qp_idx(level)
+        q, qinv, r2, _, _, _, _ = p.ntt.tabs(qp)
+        digits = p.digits(level)
+        sk = self.sk_ntt[np.asarray(qp)]
+        s_from = s_from_ntt[np.asarray(qp)]
+        d0s, d1s = [], []
+        for digit in digits:
+            a = self._uniform_poly(qp)
+            e = mm.centered_to_residues(
+                self._gauss_ints(), [p.moduli[i] for i in qp])
+            b = mm.sub_mod(p.ntt.ntt(jnp.asarray(e), qp),
+                           mm.mul_mod(a, sk, q, qinv, r2), q)
+            # + P·s_from on the digit's Q-limb rows
+            rows = np.asarray(digit)
+            pmod = np.array([p.big_p % p.moduli[i] for i in digit],
+                            dtype=np.uint64)[:, None]
+            add = mm.mul_mod(s_from[rows], jnp.asarray(pmod), q[rows],
+                             qinv[rows], r2[rows])
+            b = b.at[rows].set(mm.add_mod(b[rows], add, q[rows]))
+            d0s.append(mm.to_mont(b, q, qinv, r2))
+            d1s.append(mm.to_mont(a, q, qinv, r2))
+        return SwitchingKey(jnp.stack(d0s), jnp.stack(d1s), level)
+
+    def relin_key(self, level: int) -> SwitchingKey:
+        key = ("rlk", level)
+        if key not in self._swk_cache:
+            self._swk_cache[key] = self.gen_switching_key(self.sk2_ntt, level)
+        return self._swk_cache[key]
+
+    def galois_key(self, g: int, level: int) -> SwitchingKey:
+        p = self.params
+        g = g % (2 * p.n)
+        key = ("gal", g, level)
+        if key not in self._swk_cache:
+            src, flip = nttmod.galois_perm_coeff(p.log_n, g)
+            # φ_g(s) in NTT form on all limbs
+            all_idx = tuple(range(len(p.moduli)))
+            s_coeff = p.ntt.intt(self.sk_ntt, all_idx)
+            qall = p.ntt.q
+            s_g = nttmod.apply_galois_coeff(
+                s_coeff, jnp.asarray(src), jnp.asarray(flip), qall)
+            s_g_ntt = p.ntt.ntt(s_g, all_idx)
+            self._swk_cache[key] = self.gen_switching_key(s_g_ntt, level)
+        return self._swk_cache[key]
+
+    def rot_key(self, k: int, level: int) -> SwitchingKey:
+        return self.galois_key(nttmod.rot_to_galois(k, self.params.log_n), level)
+
+    # ------------------------------------------------------------------
+    # key switching core
+    # ------------------------------------------------------------------
+
+    def decompose(self, c1: jnp.ndarray, level: int) -> list[jnp.ndarray]:
+        """c1 (NTT, [l+1,N]) → per-digit extensions to Q_l∪P (coeff domain)."""
+        p = self.params
+        idx = p.q_idx(level)
+        qp = p.qp_idx(level)
+        c1c = p.ntt.intt(c1, idx)
+        out = []
+        for digit in p.digits(level):
+            ext = p.extender(digit, qp).extend(c1c[np.asarray(digit)])
+            out.append(ext)
+        return out
+
+    def keyswitch_ext(self, digits_coeff: list[jnp.ndarray], level: int,
+                      swk: SwitchingKey) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Inner product of decomposed digits with the key, then ÷P.
+
+        digits_coeff: coeff-domain extensions (from decompose, possibly
+        permuted by an automorphism).  Returns (ks0, ks1) NTT-domain on
+        Q_level limbs.
+        """
+        p = self.params
+        assert swk.level == level
+        qp = p.qp_idx(level)
+        q, qinv, _, _, _, _, _ = p.ntt.tabs(qp)
+        ext = jnp.stack(digits_coeff)                    # [beta, l+1+P, N]
+        ext_ntt = p.ntt.ntt(ext, qp)
+        t0 = mm.mont_mul(ext_ntt, swk.d0, q, qinv)
+        t1 = mm.mont_mul(ext_ntt, swk.d1, q, qinv)
+        acc0, acc1 = t0[0], t1[0]
+        for d in range(1, ext.shape[0]):
+            acc0 = mm.add_mod(acc0, t0[d], q)
+            acc1 = mm.add_mod(acc1, t1[d], q)
+        return self._mod_down(acc0, level), self._mod_down(acc1, level)
+
+    def _mod_down(self, acc: jnp.ndarray, level: int) -> jnp.ndarray:
+        """[l+1+P, N] NTT → [l+1, N] NTT: (acc - [acc]_P)/P."""
+        p = self.params
+        idx = p.q_idx(level)
+        pidx = p.p_idx()
+        nq = level + 1
+        q, qinv, _, _, _, _, _ = p.ntt.tabs(idx)
+        acc_p = p.ntt.intt(acc[nq:], pidx)
+        ext = p.extender(pidx, idx).extend(acc_p)
+        ext_ntt = p.ntt.ntt(ext, idx)
+        diff = mm.sub_mod(acc[:nq], ext_ntt, q)
+        return mm.mont_mul(diff, p.p_inv_mont(level), q, qinv)
+
+    def keyswitch(self, c1: jnp.ndarray, level: int, swk: SwitchingKey):
+        return self.keyswitch_ext(self.decompose(c1, level), level, swk)
+
+    # ------------------------------------------------------------------
+    # evaluator: arithmetic
+    # ------------------------------------------------------------------
+
+    def _qtabs(self, level: int):
+        return self.params.ntt.tabs(self.params.q_idx(level))
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level, (a.level, b.level)
+        assert abs(a.scale / b.scale - 1) < 1e-9, (a.scale, b.scale)
+        q = self._qtabs(a.level)[0]
+        return Ciphertext(mm.add_mod(a.c0, b.c0, q), mm.add_mod(a.c1, b.c1, q),
+                          level=a.level, scale=a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level and abs(a.scale / b.scale - 1) < 1e-9
+        q = self._qtabs(a.level)[0]
+        return Ciphertext(mm.sub_mod(a.c0, b.c0, q), mm.sub_mod(a.c1, b.c1, q),
+                          level=a.level, scale=a.scale)
+
+    def neg(self, a: Ciphertext) -> Ciphertext:
+        q = self._qtabs(a.level)[0]
+        return Ciphertext(mm.neg_mod(a.c0, q), mm.neg_mod(a.c1, q),
+                          level=a.level, scale=a.scale)
+
+    def add_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        """pt must be NTT + standard form (is_mont=False) at same level/scale."""
+        assert not pt.is_mont and pt.level == a.level
+        assert abs(a.scale / pt.scale - 1) < 1e-9, (a.scale, pt.scale)
+        q = self._qtabs(a.level)[0]
+        return Ciphertext(mm.add_mod(a.c0, pt.poly, q), a.c1,
+                          level=a.level, scale=a.scale)
+
+    def add_const(self, a: Ciphertext, const: float) -> Ciphertext:
+        """AddConstNew: add a scalar at the ciphertext's own scale."""
+        p = self.params
+        mods = p.q_moduli[: a.level + 1]
+        c = int(round(const * a.scale))
+        vals = np.array([c % q for q in mods], dtype=np.uint64)[:, None]
+        q = self._qtabs(a.level)[0]
+        return Ciphertext(mm.add_mod(a.c0, jnp.asarray(vals), q), a.c1,
+                          level=a.level, scale=a.scale)
+
+    def mul_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        """ct × pt (pt NTT+Montgomery).  Scale multiplies; no rescale."""
+        assert pt.is_mont and pt.level == a.level, (pt.level, a.level)
+        q, qinv, _, _, _, _, _ = self._qtabs(a.level)
+        return Ciphertext(mm.mont_mul(a.c0, pt.poly, q, qinv),
+                          mm.mont_mul(a.c1, pt.poly, q, qinv),
+                          level=a.level, scale=a.scale * pt.scale)
+
+    def mul_scalar_int(self, a: Ciphertext, c: int) -> Ciphertext:
+        """Multiply values by an exact integer (scale unchanged) — MulByPow2."""
+        p = self.params
+        mods = p.q_moduli[: a.level + 1]
+        vals = np.array([c % q for q in mods], dtype=np.uint64)[:, None]
+        q, qinv, r2, _, _, _, _ = self._qtabs(a.level)
+        cm = mm.to_mont(jnp.asarray(vals), q, qinv, r2)
+        return Ciphertext(mm.mont_mul(a.c0, cm, q, qinv),
+                          mm.mont_mul(a.c1, cm, q, qinv),
+                          level=a.level, scale=a.scale)
+
+    def mul_const(self, a: Ciphertext, const: float, const_scale: float) -> Ciphertext:
+        """Multiply by round(const·const_scale)/const_scale; scale *= const_scale."""
+        c = int(round(const * const_scale))
+        out = self.mul_scalar_int(a, c)
+        return out.with_scale(a.scale * const_scale)
+
+    def mul_ct(self, a: Ciphertext, b: Ciphertext, relin: bool = True) -> Ciphertext:
+        """ct × ct with immediate relinearization."""
+        assert a.level == b.level
+        lvl = a.level
+        q, qinv, r2, _, _, _, _ = self._qtabs(lvl)
+        d0 = mm.mul_mod(a.c0, b.c0, q, qinv, r2)
+        d1 = mm.add_mod(mm.mul_mod(a.c0, b.c1, q, qinv, r2),
+                        mm.mul_mod(a.c1, b.c0, q, qinv, r2), q)
+        d2 = mm.mul_mod(a.c1, b.c1, q, qinv, r2)
+        scale = a.scale * b.scale
+        if not relin:
+            raise NotImplementedError("degree-2 ciphertexts are always relinearized")
+        ks0, ks1 = self.keyswitch(d2, lvl, self.relin_key(lvl))
+        return Ciphertext(mm.add_mod(d0, ks0, q), mm.add_mod(d1, ks1, q),
+                          level=lvl, scale=scale)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        return self.mul_ct(a, a)
+
+    # ------------------------------------------------------------------
+    # evaluator: level / scale management (Lattigo semantics)
+    # ------------------------------------------------------------------
+
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        """Divide by q_level and round; level-1, scale /= q_level."""
+        p = self.params
+        lvl = a.level
+        assert lvl >= 1
+        idx = p.q_idx(lvl)
+        sub_idx = idx[:-1]
+        q, qinv, _, r1, _, _, _ = p.ntt.tabs(sub_idx)
+        q_top = p.q_moduli[lvl]
+        half = jnp.uint64(q_top // 2)
+        qtop_mod = jnp.asarray(np.array(
+            [q_top % qi for qi in p.q_moduli[:lvl]], dtype=np.uint64)[:, None])
+        qinv_last = p.qlast_inv_mont(lvl)
+
+        def dive(c):
+            t = p.ntt.intt(c[lvl:], (idx[-1],))          # [1, N] coeff
+            red = mm.mont_mul(t, r1, q, qinv)            # t mod q_i, [lvl, N]
+            red = jnp.where(t > half, mm.sub_mod(red, qtop_mod, q), red)
+            red_ntt = p.ntt.ntt(red, sub_idx)
+            return mm.mont_mul(mm.sub_mod(c[:lvl], red_ntt, q), qinv_last,
+                               q, qinv)
+
+        return Ciphertext(dive(a.c0), dive(a.c1), level=lvl - 1,
+                          scale=a.scale / q_top)
+
+    def drop_level(self, a: Ciphertext, levels: int) -> Ciphertext:
+        if levels <= 0:
+            return a
+        nl = a.level - levels
+        return Ciphertext(a.c0[: nl + 1], a.c1[: nl + 1], level=nl, scale=a.scale)
+
+    def set_scale(self, a: Ciphertext, target: float) -> Ciphertext:
+        """Multiply by a constant then rescale so scale == target exactly.
+
+        Mirrors Lattigo evaluator.SetScale as used by conv_then_pack
+        (/root/reference/conv.go:528); consumes one level.
+        """
+        p = self.params
+        q_top = p.q_moduli[a.level]
+        ratio = target * q_top / a.scale
+        c = int(round(ratio))
+        assert c >= 1, (a.scale, target)
+        out = self.mul_scalar_int(a, c)
+        out = out.with_scale(a.scale * c)
+        out = self.rescale(out)
+        # absorb float epsilon exactly (Lattigo does the same)
+        return out.with_scale(target)
+
+    # ------------------------------------------------------------------
+    # evaluator: automorphisms
+    # ------------------------------------------------------------------
+
+    def apply_galois(self, a: Ciphertext, g: int) -> Ciphertext:
+        """φ_g + key-switch back to s."""
+        p = self.params
+        g = g % (2 * p.n)
+        if g == 1:
+            return a
+        perm = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
+        c0p = nttmod.apply_galois_ntt(a.c0, perm)
+        c1p = nttmod.apply_galois_ntt(a.c1, perm)
+        ks0, ks1 = self.keyswitch(c1p, a.level, self.galois_key(g, a.level))
+        q = self._qtabs(a.level)[0]
+        return Ciphertext(mm.add_mod(c0p, ks0, q), ks1, level=a.level,
+                          scale=a.scale)
+
+    def rotate(self, a: Ciphertext, k: int) -> Ciphertext:
+        """Left-rotate slots by k (reference lRot / evaluator.Rotate)."""
+        if k % self.params.slots == 0:
+            return a
+        return self.apply_galois(a, nttmod.rot_to_galois(k, self.params.log_n))
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        return self.apply_galois(a, 2 * self.params.n - 1)
+
+    def rotate_hoisted(self, a: Ciphertext, rots: list[int]) -> dict:
+        """Decompose once, rotate many (reference RotateHoisted,
+        /root/reference/conv.go:133)."""
+        p = self.params
+        lvl = a.level
+        idx = p.q_idx(lvl)
+        qp = p.qp_idx(lvl)
+        q = self._qtabs(lvl)[0]
+        qp_q = p.ntt.tabs(qp)[0]
+        digits = self.decompose(a.c1, lvl)
+        out = {}
+        for k in rots:
+            if k % p.slots == 0:
+                out[k] = a
+                continue
+            g = nttmod.rot_to_galois(k, p.log_n)
+            src, flip = nttmod.galois_perm_coeff(p.log_n, g)
+            srcj, flipj = jnp.asarray(src), jnp.asarray(flip)
+            perm_digits = [
+                nttmod.apply_galois_coeff(d, srcj, flipj, qp_q) for d in digits]
+            perm_ntt = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
+            c0p = nttmod.apply_galois_ntt(a.c0, perm_ntt)
+            ks0, ks1 = self.keyswitch_ext(perm_digits, lvl,
+                                          self.galois_key(g, lvl))
+            out[k] = Ciphertext(mm.add_mod(c0p, ks0, q), ks1, level=lvl,
+                                scale=a.scale)
+        return out
+
+    # ------------------------------------------------------------------
+    # monomial multiplication (exact, scale-free): ct × X^k
+    # ------------------------------------------------------------------
+
+    def mul_monomial(self, a: Ciphertext, k: int) -> Ciphertext:
+        """Multiply by X^k (k may be negative).  Exact in RNS; used by the
+        packing butterfly (/root/reference/conv.go:288) and MultByi."""
+        p = self.params
+        k = k % (2 * p.n)
+        if k == 0:
+            return a
+        idx = p.q_idx(a.level)
+        mono = np.zeros(p.n, dtype=np.int64)
+        if k < p.n:
+            mono[k] = 1
+        else:
+            mono[k - p.n] = -1
+        res = mm.centered_to_residues(mono, p.q_moduli[: a.level + 1])
+        q, qinv, r2, _, _, _, _ = self._qtabs(a.level)
+        mono_ntt = mm.to_mont(p.ntt.ntt(jnp.asarray(res), idx), q, qinv, r2)
+        return Ciphertext(mm.mont_mul(a.c0, mono_ntt, q, qinv),
+                          mm.mont_mul(a.c1, mono_ntt, q, qinv),
+                          level=a.level, scale=a.scale)
+
+    def mul_by_i(self, a: Ciphertext) -> Ciphertext:
+        return self.mul_monomial(a, self.params.n // 2)
+
+    def div_by_i(self, a: Ciphertext) -> Ciphertext:
+        return self.mul_monomial(a, 3 * self.params.n // 2)
+
+
+def _negacyclic_int_conv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    n = len(a)
+    full = np.convolve(a.astype(object), b.astype(object))
+    out = np.zeros(n, dtype=object)
+    out[:n] = full[:n]
+    out[: n - 1] -= full[n:]
+    return out

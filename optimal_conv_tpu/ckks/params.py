@@ -1,0 +1,179 @@
+"""CKKS parameter sets: moduli chains, scaling, key-switch layout.
+
+Replaces ``ckks/params.go`` + ``ckks/bootstrap_params.go`` of the Go
+Lattigo fork (SURVEY.md C1/C14): an RNS modulus chain Q = [q0..qL]
+(level ℓ uses q0..qℓ), special primes P for hybrid key-switching, a
+default scale 2^30, sparse ternary secret weight h=192, σ=3.2 — the
+same envelope the reference prints at startup
+(/root/reference/main.go:85-86: logN=16, logSlots=15, h=192,
+logQP≈1553, 28 levels, scale 2^30).
+
+The chain layout is organized around the reference's pipeline
+(eval.go:272 evalConv_BNRelu_new):
+
+    level 0        q0 (60b)     conv output / bootstrap base
+    level 1        30b          conv input & kernels (ECD_LV = 1)
+    levels 2-4     45b          StoC (slots→coeffs DFT, 3 merged stages)
+    level 5        45b          post-ReLU repack masks (ext/keep)
+    levels 6-16    30b          minimax ReLU (deg 7∘7∘13 + final mul)
+    levels 17-24   55b          EvalMod (cosine cheby + double-angle)
+    levels 25-28   55b          CtoS (3 merged DFT stages + sparse fold)
+
+All moduli are NTT-friendly primes ≡ 1 mod 2N generated
+deterministically from the bit-size lists (core.modmath.gen_ntt_primes).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import modmath as mm
+from ..core import ntt as nttmod
+from ..core import rns
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    log_n: int
+    logq: tuple[int, ...]          # Q-chain bit sizes, level 0 first
+    logp: tuple[int, ...]          # special primes
+    log_scale: int = 30
+    h: int = 192                   # secret key Hamming weight
+    sigma: float = 3.2
+    # level indices of pipeline stages (bootstrapping layout); None for
+    # non-bootstrappable parameter sets
+    boot_layout: dict | None = None
+
+    # ---- derived --------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def slots(self) -> int:
+        return self.n // 2
+
+    @property
+    def log_slots(self) -> int:
+        return self.log_n - 1
+
+    @property
+    def scale(self) -> float:
+        return float(1 << self.log_scale)
+
+    @property
+    def max_level(self) -> int:
+        return len(self.logq) - 1
+
+    @functools.cached_property
+    def q_moduli(self) -> list[int]:
+        return mm.gen_ntt_primes(self.log_n, list(self.logq) + list(self.logp))[
+            : len(self.logq)]
+
+    @functools.cached_property
+    def p_moduli(self) -> list[int]:
+        return mm.gen_ntt_primes(self.log_n, list(self.logq) + list(self.logp))[
+            len(self.logq):]
+
+    @functools.cached_property
+    def moduli(self) -> list[int]:
+        """All limbs, Q first then P (global limb indexing)."""
+        return self.q_moduli + self.p_moduli
+
+    @property
+    def num_p(self) -> int:
+        return len(self.logp)
+
+    @functools.cached_property
+    def big_p(self) -> int:
+        out = 1
+        for p in self.p_moduli:
+            out *= p
+        return out
+
+    @functools.cached_property
+    def ntt(self) -> nttmod.NttContext:
+        return nttmod.NttContext(self.moduli, self.log_n)
+
+    # ---- limb index helpers --------------------------------------------
+
+    def q_idx(self, level: int) -> tuple[int, ...]:
+        """Global limb indices of Q-limbs at `level`."""
+        return tuple(range(level + 1))
+
+    def p_idx(self) -> tuple[int, ...]:
+        lq = len(self.logq)
+        return tuple(range(lq, lq + self.num_p))
+
+    def qp_idx(self, level: int) -> tuple[int, ...]:
+        return self.q_idx(level) + self.p_idx()
+
+    def digits(self, level: int) -> list[tuple[int, ...]]:
+        """Key-switch decomposition digits: groups of ≤|P| Q-limbs."""
+        alpha = max(self.num_p, 1)
+        idx = self.q_idx(level)
+        return [idx[i:i + alpha] for i in range(0, len(idx), alpha)]
+
+    @functools.lru_cache(maxsize=None)
+    def extender(self, src: tuple[int, ...], dst: tuple[int, ...]) -> rns.BasisExtender:
+        """Cached fast basis extender between global limb-index sets."""
+        mods = self.moduli
+        return rns.BasisExtender([mods[i] for i in src], [mods[i] for i in dst])
+
+    @functools.lru_cache(maxsize=None)
+    def p_inv_mont(self, level: int):
+        """P^{-1} mod q_i (Montgomery form) for q-limbs at `level`: [l+1, 1]."""
+        import jax.numpy as jnp
+        vals = np.array(
+            [pow(self.big_p % q, -1, q) * ((1 << 64) % q) % q
+             for q in self.q_moduli[:level + 1]], dtype=np.uint64)
+        return jnp.asarray(vals[:, None])
+
+    @functools.lru_cache(maxsize=None)
+    def qlast_inv_mont(self, level: int):
+        """q_level^{-1} mod q_i (Montgomery) for i < level: [level, 1]."""
+        import jax.numpy as jnp
+        ql = self.q_moduli[level]
+        vals = np.array(
+            [pow(ql % q, -1, q) * ((1 << 64) % q) % q
+             for q in self.q_moduli[:level]], dtype=np.uint64)
+        return jnp.asarray(vals[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+def boot_params(log_n: int = 16) -> CkksParams:
+    """Bootstrappable parameters mirroring the reference's envelope.
+
+    Reference: DefaultBootstrapParams[6] (logN=16, logQP≈1553, 28
+    levels, scale 2^30, h=192, σ=3.2 — /root/reference/main.go:85).
+    The exact moduli differ (our deterministic chain), the structure and
+    budget match; see module docstring for the level layout.
+    """
+    n_stoc, n_relu, n_mod, n_ctos = 3, 11, 8, 4
+    logq = (60, 30) + (45,) * n_stoc + (45,) + (30,) * n_relu + (55,) * n_mod \
+        + (55,) * n_ctos
+    layout = {
+        "ecd": 1,
+        "stoc": (2, 2 + n_stoc),                 # levels [2, 5)
+        "repack": 2 + n_stoc,                    # 5
+        "relu": (3 + n_stoc, 3 + n_stoc + n_relu),
+        "evalmod": (3 + n_stoc + n_relu, 3 + n_stoc + n_relu + n_mod),
+        "ctos": (3 + n_stoc + n_relu + n_mod,
+                 3 + n_stoc + n_relu + n_mod + n_ctos),
+    }
+    return CkksParams(log_n=log_n, logq=logq, logp=(61, 61, 61, 61),
+                      log_scale=30, h=192, sigma=3.2, boot_layout=layout)
+
+
+def tiny_params(log_n: int = 10, levels: int = 5) -> CkksParams:
+    """Small non-bootstrappable set for fast unit tests."""
+    logq = (50,) + (40,) * levels
+    return CkksParams(log_n=log_n, logq=logq, logp=(55, 55), log_scale=30,
+                      h=min(64, (1 << log_n) // 4), sigma=3.2)
