@@ -156,8 +156,11 @@ def boot_params(log_n: int = 16) -> CkksParams:
     The exact moduli differ (our deterministic chain), the structure and
     budget match; see module docstring for the level layout.
     """
-    n_stoc, n_relu, n_mod, n_ctos = 3, 11, 8, 4
-    logq = (60, 30) + (45,) * n_stoc + (45,) + (30,) * n_relu + (55,) * n_mod \
+    n_stoc, n_relu, n_mod, n_ctos = 3, 11, 10, 4
+    # level-1 prime is 45b: conv's SetScale folds target·q1/(scale_in·scale_ker)
+    # into an integer constant (conv_then_pack, /root/reference/conv.go:528) —
+    # with a 30b prime that constant would round to 0.
+    logq = (60, 45) + (45,) * n_stoc + (45,) + (30,) * n_relu + (55,) * n_mod \
         + (55,) * n_ctos
     layout = {
         "ecd": 1,

@@ -1,0 +1,220 @@
+"""Coefficient-domain multiplexed-packed convolution.
+
+Replaces the reference's L3 conv core (SURVEY.md R5, R9-R12, R17, R18,
+R22): input layout scatter (`prep_Input`, /root/reference/main.go:1007),
+kernel reshaping + BN fold (`reshape_ker`/`prep_Ker`,
+/root/reference/conv.go:184,487), the negacyclic kernel alignment trick
+(`encode_ker_final`, /root/reference/conv.go:206 — tap (j,k) placed at
+(in_wid·(k/kw)+k%kw)·B + j in reversed batch/tap order, then left-shift
+by adj=(B-1)+B(in_wid+1)(kw-1)/2 with sign-flip wraparound so the
+correlation result lands at position 0), the log-depth ciphertext
+packing butterfly (`pack_ctxts`, /root/reference/conv.go:266), and the
+fused `conv_then_pack` / `evalConv_BN` drivers
+(/root/reference/conv.go:522, eval.go:224).
+
+One homomorphic convolution over ALL channels = max_ob/norm NTT-domain
+ct×pt products + a log-depth pack of Galois automorphisms — this is the
+paper's headline trick and the reason coefficient encoding (not slot
+encoding) is the primary packing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from ..ckks.types import Ciphertext, Plaintext
+
+
+# ---------------------------------------------------------------------------
+# host-side layout/kernel preparation (numpy)
+# ---------------------------------------------------------------------------
+
+def prep_input(raw: np.ndarray, raw_in_wid: int, in_wid: int, n: int,
+               norm: int, trans: bool = False) -> np.ndarray:
+    """Scatter a raw HWC vector into the N-coefficient layout.
+
+    out[i·w·B + j·B + b·norm] = raw[(i,j,b)] for i,j < raw_in_wid
+    (mirror of prep_Input, /root/reference/main.go:1007-1042).
+    """
+    out = np.zeros(n)
+    batch = n // (in_wid * in_wid)
+    k = 0
+    if trans:
+        for i in range(in_wid // 2):
+            for j in range(in_wid // 2):
+                for b in range(batch // norm):
+                    if i < raw_in_wid and j < raw_in_wid:
+                        out[(2 * i + 1) * in_wid * batch + (2 * j + 1) * batch
+                            + b * norm] = raw[k]
+                        k += 1
+    else:
+        for i in range(in_wid):
+            for j in range(in_wid):
+                for b in range(batch // norm):
+                    if i < raw_in_wid and j < raw_in_wid:
+                        out[i * in_wid * batch + j * batch + b * norm] = raw[k]
+                        k += 1
+    return out
+
+
+def post_process(cfs: np.ndarray, raw_in_wid: int, in_wid: int) -> np.ndarray:
+    """Crop the valid raw_in_wid² region (mirror of main.go:1057-1070)."""
+    batch = len(cfs) // (in_wid * in_wid)
+    out = np.zeros(raw_in_wid * raw_in_wid * batch)
+    for i in range(raw_in_wid):
+        for j in range(raw_in_wid):
+            out[(i * raw_in_wid + j) * batch:(i * raw_in_wid + j) * batch + batch] = \
+                cfs[(i * in_wid + j) * batch:(i * in_wid + j) * batch + batch]
+    return out
+
+
+def reshape_ker(ker_in: np.ndarray, k_sz: int, out_batch: int,
+                trans: bool) -> np.ndarray:
+    """Flat python-order kernel → [out_b, in_b·k_sz]
+    (mirror of reshape_ker, /root/reference/conv.go:184-202)."""
+    in_batch = len(ker_in) // (k_sz * out_batch)
+    out = np.zeros((out_batch, k_sz * in_batch))
+    for i in range(out_batch):
+        for j in range(in_batch):
+            for k in range(k_sz):
+                if trans:
+                    out[i][j * k_sz + (k_sz - k - 1)] = \
+                        ker_in[j + i * in_batch + k * out_batch * in_batch]
+                else:
+                    out[i][j * k_sz + k] = \
+                        ker_in[i + j * out_batch + k * out_batch * in_batch]
+    return out
+
+
+def encode_ker_final(ker: np.ndarray, pos: int, i: int, in_wid: int,
+                     in_batch: int, ker_wid: int) -> np.ndarray:
+    """Place kernel taps so the negacyclic poly-product computes the
+    correlation, result aligned to position 0 (conv.go:206-237)."""
+    vec_size = in_wid * in_wid * in_batch
+    out = np.zeros(vec_size)
+    bias = pos * ker_wid * ker_wid * in_batch
+    k_sz = ker_wid * ker_wid
+    for j in range(in_batch):
+        for k in range(k_sz):
+            out[(in_wid * (k // ker_wid) + k % ker_wid) * in_batch + j] = \
+                ker[i][(in_batch - 1 - j) * k_sz + (k_sz - 1 - k) + bias]
+    # negacyclic left-shift by adj with sign-flip wraparound
+    adj = (in_batch - 1) + in_batch * (in_wid + 1) * (ker_wid - 1) // 2
+    if adj > 0:
+        tmp = out[vec_size - adj:].copy()
+        head = out[:adj].copy()
+        shifted = np.empty_like(out)
+        shifted[: vec_size - 2 * adj] = out[adj: vec_size - adj]
+        shifted[vec_size - 2 * adj: vec_size - adj] = tmp
+        shifted[vec_size - adj:] = -head
+        out = shifted
+    return out
+
+
+def prep_ker(ctx: CkksContext, ker_in: np.ndarray, bn_a: np.ndarray,
+             in_wid: int, ker_wid: int, real_ib: int, real_ob: int,
+             norm: int, ecd_lv: int, pos: int, trans: bool) -> list[Plaintext]:
+    """Kernel reshape + BN fold + overload to max batch + coeff-encode all
+    max_bat kernel polys as NTT plaintexts (prep_Ker, conv.go:487-518)."""
+    p = ctx.params
+    max_bat = p.n // (in_wid * in_wid)
+    k_sz = ker_wid * ker_wid
+    ker_rs = reshape_ker(ker_in, k_sz, real_ob, trans)
+    ker_rs = ker_rs * np.asarray(bn_a)[:, None]
+    max_ker = np.zeros((max_bat, max_bat * k_sz))
+    for i in range(real_ob):
+        for j in range(real_ib):
+            max_ker[norm * i, norm * j * k_sz: norm * j * k_sz + k_sz] = \
+                ker_rs[i, j * k_sz: j * k_sz + k_sz]
+    out = []
+    for i in range(max_bat):
+        coeffs = encode_ker_final(max_ker, pos, i, in_wid, max_bat, ker_wid)
+        out.append(ctx.encoder.encode_coeffs(coeffs, p.scale, ecd_lv))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# homomorphic packing + conv
+# ---------------------------------------------------------------------------
+
+def pack_ctxts(ctx: CkksContext, ctxts: list, max_cnum: int,
+               real_cnum: int) -> Ciphertext:
+    """Combine real_cnum sparse (stride-norm) ctxts into one via the
+    log-depth (a−b·X^s, a+b·X^s, RotateGal 2^j+1) butterfly
+    (pack_ctxts, /root/reference/conv.go:266-300)."""
+    p = ctx.params
+    log_n = p.log_n
+    step = max_cnum // 2
+    norm = max_cnum // real_cnum
+    cts = list(ctxts)
+    for i in range(max_cnum):
+        if i % norm == 0:
+            cts[i] = cts[i].with_scale(cts[i].scale * real_cnum)
+    log_step = max(step.bit_length() - 1, 0)
+    j = log_n - log_step
+    while step >= norm and step >= 1:
+        for i in range(0, step, norm):
+            tmp1 = ctx.mul_monomial(cts[i + step], 1 << log_step)
+            tmp2 = ctx.sub(cts[i], tmp1)
+            tmp1 = ctx.add(cts[i], tmp1)
+            tmp2 = ctx.apply_galois(tmp2, (1 << j) + 1)
+            cts[i] = ctx.add(tmp1, tmp2)
+        step //= 2
+        log_step -= 1
+        j += 1
+    return cts[0]
+
+
+def conv_then_pack(ctx: CkksContext, ct_in: Ciphertext, pl_ker: list,
+                   max_ob: int, norm: int, out_scale: float) -> Ciphertext:
+    """One ct×pt NTT-domain product per (stride-norm) out-channel group,
+    SetScale to out_scale/(max_ob/norm), then pack
+    (conv_then_pack, /root/reference/conv.go:522-546)."""
+    cts = [None] * max_ob
+    for i in range(max_ob):
+        if i % norm == 0:
+            c = ctx.mul_plain(ct_in, pl_ker[i])
+            cts[i] = ctx.set_scale(c, out_scale / (max_ob // norm))
+    out = pack_ctxts(ctx, cts, max_ob, max_ob // norm)
+    assert out.level == 0, out.level
+    assert abs(out.scale / out_scale - 1) < 1e-9, (out.scale, out_scale)
+    return out
+
+
+def eval_conv_bn(ctx: CkksContext, ct_in: Ciphertext, ker_in: np.ndarray,
+                 bn_a: np.ndarray, bn_b: np.ndarray, in_wid: int, ker_wid: int,
+                 real_ib: int, real_ob: int, norm: int, out_scale: float,
+                 trans: bool = False, ecd_lv: int = 1) -> Ciphertext:
+    """Conv + BN: kernel prep, conv_then_pack, add coeff-encoded bias
+    (evalConv_BN, /root/reference/eval.go:224-263)."""
+    p = ctx.params
+    max_batch = p.n // (in_wid * in_wid)
+    pl = prep_ker(ctx, ker_in, bn_a, in_wid, ker_wid, real_ib, real_ob, norm,
+                  ecd_lv, 0, trans)
+    b_coeffs = np.zeros(p.n)
+    for i, b in enumerate(np.asarray(bn_b)):
+        b_coeffs[norm * i::max_batch] = b
+    pl_b = ctx.encoder.encode_coeffs(b_coeffs, out_scale, 0, mont=False)
+    out = conv_then_pack(ctx, ct_in, pl, max_batch, norm, out_scale)
+    return ctx.add_plain(out, pl_b)
+
+
+# ---------------------------------------------------------------------------
+# plaintext reference (golden oracle for tests; the role the reference's
+# external python pipeline + golden CSVs play, SURVEY.md §4.1)
+# ---------------------------------------------------------------------------
+
+def conv2d_same_np(img: np.ndarray, ker: np.ndarray) -> np.ndarray:
+    """img [H, W, Cin], ker [kh, kw, Cin, Cout] → [H, W, Cout]
+    (cross-correlation with zero 'same' padding, python/keras semantics)."""
+    h, w, cin = img.shape
+    kh, kw, _, cout = ker.shape
+    out = np.zeros((h, w, cout))
+    ph, pw = kh // 2, kw // 2
+    pad = np.zeros((h + 2 * ph, w + 2 * pw, cin))
+    pad[ph: ph + h, pw: pw + w] = img
+    for di in range(kh):
+        for dj in range(kw):
+            out += np.einsum("hwc,co->hwo", pad[di: di + h, dj: dj + w], ker[di, dj])
+    return out
