@@ -1,0 +1,292 @@
+"""Split CKKS bootstrapping: ModUp → SubSum → CtoS → EvalMod ∥ … ∥ StoC.
+
+Replaces the fork's modified bootstrapper (SURVEY.md C14–C17):
+``NewBootstrapper_mod`` with the split halves ``BootstrappConv_CtoS`` /
+``BootstrappConv_StoC`` (/root/reference/eval.go:450,543) that expose the
+slots-domain midpoint so ReLU + repacking run between the halves, and
+the sparse-slot family (one bootstrapper per log_sparse, selected by the
+conv pipeline — /root/reference/main.go:480-505).
+
+Layout contract (matches the fork, verified against its debug oracles
+``debugCtoS``/``debugStoC``, /root/reference/eval.go:610-722):
+  * full pack (log_sparse=0): CtoS returns TWO ciphertexts; slots of
+    ct_up[i] = coeffs[brv(i)], ct_low[i] = coeffs[brv(i)+N/2].
+  * sparse (log_sparse≥1): the ciphertext's coefficients live at stride
+    2^ls (subring); CtoS returns ONE ciphertext whose slot view holds
+    [c'_lo[brv], c'_hi[brv]] tiled with period 2·n_sub.
+EvalMod (cosine Chebyshev + double-angle, payload/q0 folded into the
+CtoS diagonals and the output scale reinterpretation) runs inside the
+CtoS half, so both halves' outputs are plain message slots.
+
+Level walk (boot_params chain): mod_raise→L; CtoS groups consume 3
+levels (+1 fold for sparse); EvalMod 9; ReLU region 14 (30-bit primes);
+repack 1 (45b); StoC 3 (45b) → level 1 = conv's ECD level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import ntt as nttmod
+from ..core import modmath as mm
+from . import dft
+from .context import CkksContext
+from .types import Ciphertext, Plaintext
+from .polyeval import evaluate_chebyshev
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# ModRaise
+# ---------------------------------------------------------------------------
+
+def mod_raise(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
+    """Level 0 → max level: centered lift of each residue poly mod q0."""
+    p = ctx.params
+    assert ct.level == 0
+    lmax = p.max_level
+    idx = p.q_idx(lmax)
+    q0 = p.q_moduli[0]
+    ext = p.extender((0,), idx)
+    q, _, _, _, _, _, _ = p.ntt.tabs(idx)
+    q0_mod = jnp.asarray(np.array([q0 % m for m in p.q_moduli[: lmax + 1]],
+                                  dtype=np.uint64)[:, None])
+    half = jnp.uint64(q0 // 2)
+
+    def lift(c):
+        cc = p.ntt.intt(c, (0,))                       # [1, N] mod q0
+        e = ext.extend(cc)                             # [lmax+1, N]
+        e = jnp.where(cc > half, mm.sub_mod(e, q0_mod, q), e)
+        return p.ntt.ntt(e, idx)
+
+    return Ciphertext(lift(ct.c0), lift(ct.c1), level=lmax, scale=ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# BSGS linear transform
+# ---------------------------------------------------------------------------
+
+class LinearTransform:
+    """One-level BSGS diagonal transform, plaintexts precomputed.
+
+    diags: {k: complex vector over the full slot view}; applied at
+    `level` with plaintext scale `pt_scale` (default: the level's prime,
+    so the ciphertext scale is preserved after the rescale).
+    """
+
+    def __init__(self, ctx: CkksContext, diags: dict[int, np.ndarray],
+                 level: int, pt_scale: float | None = None):
+        self.ctx = ctx
+        self.level = level
+        p = ctx.params
+        n = p.slots
+        self.pt_scale = float(p.q_moduli[level]) if pt_scale is None else pt_scale
+        keys = sorted(k % n for k in diags)
+        self.bs = 1 << max((int(np.ceil(np.sqrt(len(keys)))) - 1).bit_length(), 0)
+        norm = {}
+        for k, v in diags.items():
+            kk = k % n
+            norm[kk] = norm.get(kk, 0) + v
+        self.plan: dict[int, dict[int, Plaintext]] = {}
+        for kk, v in norm.items():
+            g, r = divmod(kk, self.bs)
+            pt = ctx.encoder.encode_slots(np.roll(v, g * self.bs),
+                                          self.pt_scale, level)
+            self.plan.setdefault(g * self.bs, {})[r] = pt
+        self.babies = sorted({r for d in self.plan.values() for r in d})
+
+    def __call__(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        assert ct.level == self.level, (ct.level, self.level)
+        rots = ctx.rotate_hoisted(ct, self.babies)
+        out = None
+        for g, terms in sorted(self.plan.items()):
+            inner = None
+            for r, pt in terms.items():
+                t = ctx.mul_plain(rots[r], pt)
+                inner = t if inner is None else ctx.add(inner, t)
+            if g != 0:
+                inner = ctx.rotate(inner, g)
+            out = inner if out is None else ctx.add(out, inner)
+        return ctx.rescale(out)
+
+
+# ---------------------------------------------------------------------------
+# Split bootstrapper
+# ---------------------------------------------------------------------------
+
+class SplitBootstrapper:
+    """One instance per log_sparse (the reference's btp..btp5 family)."""
+
+    def __init__(self, ctx: CkksContext, log_sparse: int = 0,
+                 k_range: float = 25.0,
+                 sin_deg: int = 63, double_angle: int = 2,
+                 msg_ratio_bits: int = 8):
+        self.ctx = ctx
+        self.ls = log_sparse
+        p = ctx.params
+        self.q0 = p.q_moduli[0]
+        # incoming scale: conv sets out_scale = 2^(round(log2 q0)-pow-8),
+        # then the pipeline boosts by 2^pow → Δ0 = 2^(round(log2 q0)-8)
+        self.delta0 = float(2 ** (round(np.log2(self.q0)) - msg_ratio_bits))
+        self.k_range = k_range
+        self.double_angle = double_angle
+        lay = p.boot_layout
+        assert lay is not None, "params not bootstrappable"
+        self.log_nsub = p.log_slots - log_sparse
+        n_sub = 1 << self.log_nsub
+        reps = p.slots // n_sub
+        lmax = p.max_level
+
+        # delta_m: EvalMod working scale ≈ the evalmod-region primes
+        self.delta_m = float(p.q_moduli[lay["evalmod"][1] - 1])
+
+        # group counts come from the chain layout: CtoS levels (minus one
+        # for the sparse fold), StoC levels
+        n_ctos_levels = lay["ctos"][1] - lay["ctos"][0]
+        n_stoc_levels = lay["stoc"][1] - lay["stoc"][0]
+        ctos_groups = n_ctos_levels - (1 if log_sparse > 0 else 0)
+
+        # ---- CtoS groups (inverse DFT stages, bit-rev output) ----------
+        enc_st = [dft.tile(s, reps)
+                  for s in dft.encode_stages(self.log_nsub)]
+        groups = dft.group_stages(enc_st, ctos_groups, p.slots)
+        self.ctos_lt: list[LinearTransform] = []
+        lvl = lmax
+        for gi, gdiags in enumerate(groups):
+            last = gi == len(groups) - 1
+            if last and log_sparse == 0:
+                # fold λ = Δ0/(2·K·q0) (the 1/2 is the conj-split) and the
+                # Δm scale switch into the last group
+                lam = self.delta0 / (2.0 * k_range * self.q0)
+                gdiags = {k: v * lam for k, v in gdiags.items()}
+                sc = p.q_moduli[lvl] * self.delta_m / self.delta0
+                self.ctos_lt.append(LinearTransform(ctx, gdiags, lvl, sc))
+            else:
+                self.ctos_lt.append(LinearTransform(ctx, gdiags, lvl))
+            lvl -= 1
+
+        if log_sparse > 0:
+            # fold level: y = A⊙x + B⊙conj(x), with λ folded in
+            lam = self.delta0 / (k_range * self.q0 * (1 << log_sparse))
+            m_lo = np.zeros(p.slots)
+            per = np.zeros(2 * n_sub)
+            per[:n_sub] = 1.0
+            m_lo = np.tile(per, p.slots // (2 * n_sub))
+            m_hi = 1.0 - m_lo
+            self.fold_a = (m_lo - 1j * m_hi) / 2.0 * lam
+            self.fold_b = (m_lo + 1j * m_hi) / 2.0 * lam
+            self.fold_level = lvl
+            sc = p.q_moduli[lvl] * self.delta_m / self.delta0
+            self.fold_a_pt = ctx.encoder.encode_slots(self.fold_a, sc, lvl)
+            self.fold_b_pt = ctx.encoder.encode_slots(self.fold_b, sc, lvl)
+            lvl -= 1
+        self.post_ctos_level = lvl
+
+        # ---- EvalMod: cosine chebyshev + double angle ------------------
+        r = double_angle
+        freq = 2 * np.pi * k_range / (1 << r)
+
+        def g(y):
+            return np.cos(freq * y - np.pi / 2 / (1 << r))
+
+        self.sin_cheb = np.polynomial.chebyshev.Chebyshev.interpolate(
+            g, sin_deg, domain=[-1.0, 1.0]).coef
+
+        # ---- StoC groups (forward DFT stages, bit-rev input) -----------
+        dec_st = [dft.tile(s, reps) for s in dft.decode_stages(self.log_nsub)]
+        if log_sparse > 0:
+            # prepend unfold F: x = d0⊙y + d1⊙rot(y, n_sub)
+            d0 = np.tile(np.concatenate([np.ones(n_sub), 1j * np.ones(n_sub)]),
+                         reps // 2)
+            d1 = np.tile(np.concatenate([1j * np.ones(n_sub), np.ones(n_sub)]),
+                         reps // 2)
+            dec_st = [{0: d0, n_sub: d1}] + dec_st
+        s_groups = dft.group_stages(dec_st, n_stoc_levels, p.slots)
+        st_lvl = lay["stoc"][1] - 1
+        self.stoc_lt: list[LinearTransform] = []
+        for gdiags in s_groups:
+            self.stoc_lt.append(LinearTransform(ctx, gdiags, st_lvl))
+            st_lvl -= 1
+        self.post_stoc_level = st_lvl
+
+    # ------------------------------------------------------------------
+
+    def ctos(self, ct: Ciphertext):
+        """(ct level 0, scale Δ0·2^-?) → slot-domain message ciphertext(s).
+
+        Returns (ct_up, ct_low) for full pack, (ct, None) for sparse.
+        Output values are the plaintext coefficients (÷2^pow still
+        applied by caller convention), at the ReLU region's scale.
+        """
+        ctx = self.ctx
+        p = ctx.params
+        ct = mod_raise(ctx, ct)
+        # SubSum: project onto the stride-2^ls subring (kills inter-stride
+        # garbage; scales kept coeffs by 2^ls — folded into the diagonals)
+        for j in range(self.ls):
+            g = (2 * p.n) // (1 << (j + 1)) + 1
+            ct = ctx.add(ct, ctx.apply_galois(ct, g))
+        for lt in self.ctos_lt:
+            ct = lt(ct)
+        if self.ls == 0:
+            cj = ctx.conjugate(ct)
+            up = ctx.add(ct, cj)
+            low = ctx.div_by_i(ctx.sub(ct, cj))
+            up = self._eval_mod(up)
+            low = self._eval_mod(low)
+            return up, low
+        cj = ctx.conjugate(ct)
+        a = ctx.mul_plain(ct, self.fold_a_pt)
+        b = ctx.mul_plain(cj, self.fold_b_pt)
+        folded = ctx.rescale(ctx.add(a, b))
+        return self._eval_mod(folded), None
+
+    def _eval_mod(self, ct: Ciphertext) -> Ciphertext:
+        """values y = payload/(K·q0) → values payload/Δ0, scale ≈ Δ."""
+        ctx = self.ctx
+        p = ctx.params
+        ct = ct.with_scale(self.delta_m)  # absorb float drift of λ folding
+        # back out per-double-angle scales so the final scale lands at
+        # Δ·(q0/(2π·Δ0)) before the exact reinterpretation below
+        r = self.double_angle
+        depth = _cheb_depth(len(self.sin_cheb) - 1)
+        lc = ct.level - depth
+        s_final = p.scale * self.q0 / (2 * np.pi * self.delta0)
+        scales = [s_final]
+        for i in range(r):
+            prev = np.sqrt(scales[-1] * p.q_moduli[lc - r + 1 + i])
+            scales.append(prev)
+        s_t = scales[-1]
+        c = evaluate_chebyshev(ctx, ct, self.sin_cheb, -1.0, 1.0, s_t)
+        for i in range(r):
+            sq = ctx.rescale(ctx.mul_ct(c, c))
+            c = ctx.add_const(ctx.mul_scalar_int(sq, 2), -1.0)
+        # c ≈ sin(2πK y) = sin(2π payload/q0) ≈ 2π·payload/q0 at scale s
+        # reinterpretation: payload/Δ0 at scale s·2πΔ0/q0  (exact, free)
+        return c.with_scale(c.scale * 2 * np.pi * self.delta0 / self.q0)
+
+    # ------------------------------------------------------------------
+
+    def stoc(self, ct0: Ciphertext, ct1: Ciphertext | None) -> Ciphertext:
+        """Slot-domain message ct(s) → coefficient-packed ct at level 1."""
+        ctx = self.ctx
+        if self.ls == 0:
+            assert ct1 is not None
+            ct = ctx.add(ct0, ctx.mul_by_i(ct1))
+        else:
+            ct = ct0
+        lvl0 = self.stoc_lt[0].level
+        if ct.level > lvl0:
+            ct = ctx.drop_level(ct, ct.level - lvl0)
+        for lt in self.stoc_lt:
+            ct = lt(ct)
+        return ct
+
+
+def _cheb_depth(deg: int) -> int:
+    d = 0
+    while (1 << d) < deg + 1:
+        d += 1
+    return d + 1

@@ -44,8 +44,9 @@ class CkksParams:
     h: int = 192                   # secret key Hamming weight
     sigma: float = 3.2
     # level indices of pipeline stages (bootstrapping layout); None for
-    # non-bootstrappable parameter sets
-    boot_layout: dict | None = None
+    # non-bootstrappable parameter sets.  compare=False keeps the
+    # dataclass hashable (needed by the lru_caches below).
+    boot_layout: dict | None = field(default=None, compare=False)
 
     # ---- derived --------------------------------------------------------
 
@@ -156,7 +157,7 @@ def boot_params(log_n: int = 16) -> CkksParams:
     The exact moduli differ (our deterministic chain), the structure and
     budget match; see module docstring for the level layout.
     """
-    n_stoc, n_relu, n_mod, n_ctos = 3, 11, 10, 4
+    n_stoc, n_relu, n_mod, n_ctos = 3, 14, 10, 4
     # level-1 prime is 45b: conv's SetScale folds target·q1/(scale_in·scale_ker)
     # into an integer constant (conv_then_pack, /root/reference/conv.go:528) —
     # with a 30b prime that constant would round to 0.
@@ -173,6 +174,28 @@ def boot_params(log_n: int = 16) -> CkksParams:
     }
     return CkksParams(log_n=log_n, logq=logq, logp=(61, 61, 61, 61),
                       log_scale=30, h=192, sigma=3.2, boot_layout=layout)
+
+
+def mini_boot_params(log_n: int = 10, n_relu: int = 2) -> CkksParams:
+    """Small bootstrappable set for unit tests (scale 2^25, q0 2^55).
+
+    Same level layout structure as boot_params; pair with
+    SplitBootstrapper(k_range=12, sin_deg=31, double_angle=3, h=64).
+    """
+    n_stoc, n_mod, n_ctos = 2, 9, 3
+    logq = (55, 35) + (35,) * n_stoc + (35,) + (25,) * n_relu + (45,) * n_mod \
+        + (45,) * n_ctos
+    layout = {
+        "ecd": 1,
+        "stoc": (2, 2 + n_stoc),
+        "repack": 2 + n_stoc,
+        "relu": (3 + n_stoc, 3 + n_stoc + n_relu),
+        "evalmod": (3 + n_stoc + n_relu, 3 + n_stoc + n_relu + n_mod),
+        "ctos": (3 + n_stoc + n_relu + n_mod,
+                 3 + n_stoc + n_relu + n_mod + n_ctos),
+    }
+    return CkksParams(log_n=log_n, logq=logq, logp=(56, 56, 56, 56),
+                      log_scale=25, h=64, sigma=3.2, boot_layout=layout)
 
 
 def tiny_params(log_n: int = 10, levels: int = 5) -> CkksParams:

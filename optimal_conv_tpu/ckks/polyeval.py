@@ -165,11 +165,13 @@ class ChebBasis:
 
     def __init__(self, ctx: CkksContext, ct: Ciphertext, a: float, b: float):
         self.ctx = ctx
-        # T1 = (2x - (a+b)) / (b-a): one mul_const+rescale, one add_const
-        cs = ctx.params.q_moduli[ct.level]  # encode at the level prime
-        t1 = ctx.rescale(ctx.mul_const(ct, 2.0 / (b - a), float(cs)))
-        t1 = t1.with_scale(t1.scale)
-        t1 = ctx.add_const(t1, -(a + b) / (b - a))
+        if a == -1.0 and b == 1.0:
+            t1 = ct  # identity domain map — no level consumed
+        else:
+            # T1 = (2x - (a+b)) / (b-a): one mul_const+rescale, one add_const
+            cs = ctx.params.q_moduli[ct.level]  # encode at the level prime
+            t1 = ctx.rescale(ctx.mul_const(ct, 2.0 / (b - a), float(cs)))
+            t1 = ctx.add_const(t1, -(a + b) / (b - a))
         self.pows: dict[int, Ciphertext] = {1: t1}
 
     def get(self, i: int) -> Ciphertext:

@@ -1,0 +1,105 @@
+"""Plaintext (numpy) mirror of the encrypted CNN — the golden oracle.
+
+Plays the role of the reference's external python pipeline that produced
+the golden CSVs (``test_conv_data``/``Resnet_plain_data``, SURVEY.md
+§4.1): the encrypted model is validated against this float model, and
+``compare.py`` computes enc-vs-plain argmax agreement the way
+``compare_final.py`` does.
+
+Architecture (matching the reference's "ResNet" — a plain conv-BN-ReLU
+stack WITHOUT residual connections, /root/reference/test.go:76-370):
+  block1: conv(3→b1) + [conv(b1→b1)]×(n1−1), each + BN + ReLU
+  transition: stride-2 conv(b1→b2) + BN + ReLU
+  block2: [conv(b2→b2)]×n2 …
+  transition: stride-2 conv(b2→b3) + BN + ReLU
+  block3: [conv(b3→b3)]×n3 …
+  head: reduce-mean over the spatial grid, then FC.
+
+Strided convolution samples the ODD positions of the SAME-padded conv
+output (y[i,j] = conv(x)[2i+1, 2j+1]), which is what the encrypted
+compression repack extracts (verified in tests against the pipeline).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.conv import conv2d_same_np
+from ..ops.relu import relu_np
+
+
+NUM_BLOCKS = {20: (7, 5, 5), 14: (5, 3, 3), 8: (3, 1, 1)}
+
+
+@dataclass
+class ResNetWeights:
+    convs: list          # [kh, kw, cin, cout] per conv layer (in graph order)
+    bn_a: list           # [cout] multiplicative BN fold
+    bn_b: list           # [cout] additive BN fold
+    fc_w: np.ndarray     # [c3, fc_out]
+    fc_b: np.ndarray     # [fc_out]
+
+
+def random_weights(ker_wid: int, depth: int, batches=(16, 32, 64),
+                   fc_out: int = 10, in_ch: int = 3, seed: int = 0,
+                   scale: float = 0.5) -> ResNetWeights:
+    """He-style random weights, magnitudes tuned so activations stay in
+    the ReLU approximation range."""
+    rng = np.random.default_rng(seed)
+    n1, n2, n3 = NUM_BLOCKS[depth]
+    b1, b2, b3 = batches
+    convs, bn_a, bn_b = [], [], []
+
+    def add(cin, cout):
+        k = rng.normal(0, scale / np.sqrt(ker_wid * ker_wid * cin),
+                       (ker_wid, ker_wid, cin, cout))
+        convs.append(k)
+        bn_a.append(rng.uniform(0.8, 1.2, cout))
+        bn_b.append(rng.uniform(-0.1, 0.1, cout))
+
+    add(in_ch, b1)
+    for _ in range(n1 - 1):
+        add(b1, b1)
+    add(b1, b2)               # transition 1 (stride 2)
+    for _ in range(n2):
+        add(b2, b2)
+    add(b2, b3)               # transition 2 (stride 2)
+    for _ in range(n3):
+        add(b3, b3)
+    fc_w = rng.normal(0, 1.0 / np.sqrt(b3), (b3, fc_out))
+    fc_b = rng.normal(0, 0.1, fc_out)
+    return ResNetWeights(convs, bn_a, bn_b, fc_w, fc_b)
+
+
+def conv_bn_relu_plain(x, ker, a, b, stride=1):
+    y = conv2d_same_np(x, ker) * a + b
+    if stride == 2:
+        y = y[1::2, 1::2]
+    return relu_np(y)
+
+
+def plain_forward(w: ResNetWeights, image: np.ndarray, depth: int,
+                  raw_wids: tuple[int, int, int]) -> np.ndarray:
+    """image [raw_wids[0], raw_wids[0], 3] → logits."""
+    n1, n2, n3 = NUM_BLOCKS[depth]
+    x = image
+    li = 0
+    for _ in range(n1):
+        x = conv_bn_relu_plain(x, w.convs[li], w.bn_a[li], w.bn_b[li])
+        li += 1
+    x = conv_bn_relu_plain(x, w.convs[li], w.bn_a[li], w.bn_b[li], stride=2)
+    x = x[: raw_wids[1], : raw_wids[1]]
+    li += 1
+    for _ in range(n2):
+        x = conv_bn_relu_plain(x, w.convs[li], w.bn_a[li], w.bn_b[li])
+        li += 1
+    x = conv_bn_relu_plain(x, w.convs[li], w.bn_a[li], w.bn_b[li], stride=2)
+    x = x[: raw_wids[2], : raw_wids[2]]
+    li += 1
+    for _ in range(n3):
+        x = conv_bn_relu_plain(x, w.convs[li], w.bn_a[li], w.bn_b[li])
+        li += 1
+    feat = x.mean(axis=(0, 1))
+    return feat @ w.fc_w + w.fc_b

@@ -1,0 +1,185 @@
+"""Encrypted ResNet (plain conv-BN-ReLU stack) — sparse-packed pipeline.
+
+Replaces the reference's flagship workload ``testResNet_crop_sparse``
+(/root/reference/test.go:76-370) and the model-specific parts of
+``newContext`` (/root/reference/main.go:137-224): three conv blocks at
+log_sparse 2/3/4 with split-kernel strided transitions at log_sparse
+1/2, one bootstrap per layer, reduce-mean + FC head evaluated as one
+coefficient-domain conv with an all-ones spatial kernel
+(/root/reference/test.go:281-338).
+
+Widths are parameterized so the same graph runs miniaturized in tests
+(log_n 12 ⇒ 16×16 inputs) and at full CIFAR scale (log_n 16 ⇒ 32×32,
+real_batch (16,32,64), norm (4,8,16)) on hardware.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from ..ckks.bootstrap import SplitBootstrapper
+from ..ops import conv as convops
+from ..ops import repack as rp
+from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
+from .plain import ResNetWeights, NUM_BLOCKS
+
+
+@dataclass
+class ResNetConfig:
+    ker_wid: int = 3
+    depth: int = 20
+    cf100: bool = False
+    # packing geometry; defaults = reference CIFAR shapes at logN 16
+    in_wids: tuple = (32, 16, 8)
+    real_batch: tuple = (16, 32, 64)
+    fc_out: int = 10
+    init_pow: float = 6.0
+    mid_pow: float = 6.0
+    final_pow: float = 6.0
+    alpha: float = 0.0
+
+    @property
+    def raw_in_wids(self) -> tuple:
+        k = self.ker_wid
+        return tuple(w - k // 2 for w in self.in_wids)
+
+
+class ResNetRunner:
+    """Builds the per-model repack tables + bootstrapper family, then runs
+    encrypted inference layer by layer (one fused conv-BN-ReLU-boot per
+    layer), mirroring testResNet_crop_sparse."""
+
+    def __init__(self, ctx: CkksContext, cfg: ResNetConfig,
+                 boot_kwargs: dict | None = None, debug: bool = False):
+        self.ctx = ctx
+        self.cfg = cfg
+        self.debug = debug
+        p = ctx.params
+        n = p.n
+        self.max_batch = [n // (w * w) for w in cfg.in_wids]
+        self.norm = [mb // rb for mb, rb in zip(self.max_batch, cfg.real_batch)]
+        self.log_sparse = [int(np.log2(v)) for v in self.norm]
+        assert all(1 << ls == v for ls, v in zip(self.log_sparse, self.norm))
+
+        raw = cfg.raw_in_wids
+        vec = n // 2
+
+        # keep-masks per block (gen_keep_vec_sparse, main.go:137-162)
+        self.keep_maps = []
+        for i, w in enumerate(cfg.in_wids):
+            mask = rp.gen_keep_vec_sparse(vec, w, raw[i], self.log_sparse[i])
+            self.keep_maps.append(LayerMaps(ext_idx=[mask, None]))
+
+        # strided-transition maps (gen_comprs_sparse, main.go:164-224):
+        # combined stride-conv ct has log_sparse = ls_in − 1
+        self.str_maps = []
+        self.str_ls = []
+        for i in (0, 1):
+            ls_comb = self.log_sparse[i] - 1
+            m_idx, r_idx = rp.gen_comprs_sparse(vec, cfg.in_wids[i],
+                                                raw[i + 1], ls_comb, 0, 0)
+            self.str_maps.append(LayerMaps(m_idx=m_idx, r_idx=r_idx))
+            self.str_ls.append(ls_comb)
+
+        # bootstrapper family (one per log_sparse in use)
+        bk = dict(boot_kwargs or {})
+        need = sorted(set(self.log_sparse) | set(self.str_ls))
+        self.btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, **bk)
+                     for ls in need}
+
+    # ------------------------------------------------------------------
+
+    def encrypt_image(self, image: np.ndarray):
+        """image [raw0, raw0, 3] → sparse-packed level-1 ciphertext."""
+        cfg, p = self.cfg, self.ctx.params
+        inp = convops.prep_input(image.ravel(), cfg.raw_in_wids[0],
+                                 cfg.in_wids[0], p.n, self.norm[0])
+        pt = self.ctx.encoder.encode_coeffs(inp, p.scale, 1)
+        return self.ctx.encrypt(pt)
+
+    def infer(self, image: np.ndarray, w: ResNetWeights,
+              timings: dict | None = None) -> np.ndarray:
+        ctx, cfg = self.ctx, self.cfg
+        n1, n2, n3 = NUM_BLOCKS[cfg.depth]
+        raw = cfg.raw_in_wids
+        rb = cfg.real_batch
+        ct = self.encrypt_image(image)
+        li = 0
+        t0 = time.perf_counter()
+        tm = timings if timings is not None else {}
+
+        def layer(ct, li, in_idx, kind, pow_, maps, ls, real_ib, real_ob,
+                  norm, n_iter=2):
+            return eval_conv_bn_relu(
+                ctx, self.btps, ct, w.convs[li].ravel(), w.bn_a[li],
+                w.bn_b[li], cfg.alpha, pow_, cfg.in_wids[in_idx],
+                raw[in_idx if kind != "StrConv_sparse" else in_idx + 1],
+                w.convs[li].shape[0], real_ib, real_ob, norm, 0, 1, n_iter,
+                ls, kind, maps)
+
+        pow_ = cfg.init_pow
+        for i in range(n1):
+            real_ib = w.convs[li].shape[2]
+            ct = layer(ct, li, 0, "Conv_sparse", pow_, self.keep_maps[0],
+                       self.log_sparse[0], real_ib, rb[0], self.norm[0])
+            pow_ = cfg.mid_pow
+            li += 1
+        tm["blc1"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        ct = layer(ct, li, 0, "StrConv_sparse", pow_, self.str_maps[0],
+                   self.str_ls[0], rb[0], rb[1], self.norm[1])
+        li += 1
+        tm["blc1to2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        for _ in range(n2):
+            ct = layer(ct, li, 1, "Conv_sparse", pow_, self.keep_maps[1],
+                       self.log_sparse[1], rb[1], rb[1], self.norm[1])
+            li += 1
+        tm["blc2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        ct = layer(ct, li, 1, "StrConv_sparse", pow_, self.str_maps[1],
+                   self.str_ls[1], rb[1], rb[2], self.norm[2])
+        li += 1
+        tm["blc2to3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        for j in range(n3):
+            if j == n3 - 1:
+                pow_ = cfg.final_pow
+            ct = layer(ct, li, 2, "Conv_sparse", pow_, self.keep_maps[2],
+                       self.log_sparse[2], rb[2], rb[2], self.norm[2])
+            li += 1
+        tm["blc3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        logits = self._fc_head(ct, w)
+        tm["fc"] = time.perf_counter() - t0
+        return logits
+
+    def _fc_head(self, ct, w: ResNetWeights) -> np.ndarray:
+        """Reduce-mean + FC as one conv with replicated taps
+        (/root/reference/test.go:281-338)."""
+        ctx, cfg = self.ctx, self.cfg
+        raw2 = cfg.raw_in_wids[2]
+        kw = raw2 if raw2 % 2 == 1 else raw2 + 1
+        b3 = cfg.real_batch[2]
+        fc_out = cfg.fc_out
+        # kernel [kw, kw, b3, fc_out], every tap = fc weight
+        ker = np.broadcast_to(w.fc_w[None, None], (kw, kw, b3, fc_out)).copy()
+        bn_a = np.full(fc_out, 1.0 / (raw2 * raw2))
+        bn_b = np.asarray(w.fc_b)
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a, bn_b,
+                                   cfg.in_wids[2], kw, b3, fc_out,
+                                   self.norm[2], float(1 << 30))
+        cfs = ctx.decrypt_decode_coeffs(out)
+        # logits at spatial position (kw/2+1, kw/2+1), channel stride norm
+        mb = self.max_batch[2]
+        ctr = (kw // 2) * cfg.in_wids[2] * mb + (kw // 2) * mb
+        return cfs[ctr: ctr + self.norm[2] * fc_out: self.norm[2]]

@@ -1,0 +1,86 @@
+"""Split-bootstrapper tests: CtoS layout, EvalMod precision, StoC roundtrip.
+
+Mirrors the reference's per-stage decrypt oracles (debugCtoS/debugStoC,
+/root/reference/eval.go:610-722): CtoS must produce slots in the
+bit-reversed coefficient order those oracles encode, and StoC must
+invert it back to coefficient packing.
+"""
+
+import numpy as np
+import pytest
+
+from optimal_conv_tpu.ckks.params import mini_boot_params
+from optimal_conv_tpu.ckks.context import CkksContext
+from optimal_conv_tpu.ckks.bootstrap import SplitBootstrapper, mod_raise
+from optimal_conv_tpu.ops.repack import reverse_bits
+
+PARAMS = mini_boot_params(log_n=10)
+RNG = np.random.default_rng(17)
+N = PARAMS.n
+SLOTS = PARAMS.slots
+MSG_BITS = 8
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(PARAMS, seed=13)
+
+
+def boot(ctx, ls):
+    return SplitBootstrapper(ctx, log_sparse=ls, k_range=12.0,
+                             sin_deg=31, double_angle=3)
+
+
+def enc_level0(ctx, v, delta0):
+    pt = ctx.encoder.encode_coeffs(v, delta0, 0)
+    return ctx.encrypt(pt)
+
+
+def test_mod_raise_preserves_message(ctx):
+    v = RNG.uniform(-1, 1, N)
+    delta0 = 2.0 ** (55 - MSG_BITS)
+    ct = mod_raise(ctx, enc_level0(ctx, v, delta0))
+    assert ct.level == PARAMS.max_level
+    # decrypt at full level: message is v + (q0/Δ0)·I; check mod-q0 part
+    cfs = ctx.decrypt_to_coeffs(ct)
+    got = ctx.encoder.decode_coeffs(cfs[:1], delta0)
+    np.testing.assert_allclose(got, v, atol=1e-4)
+
+
+def test_full_bootstrap_roundtrip(ctx):
+    """level-0 ct → CtoS (2 cts, brv slot layout) → StoC → coeff ct."""
+    btp = boot(ctx, 0)
+    v = RNG.uniform(-1, 1, N)
+    ct = enc_level0(ctx, v, btp.delta0)
+    up, low = btp.ctos(ct)
+    zu = ctx.decrypt_decode_slots(up).real
+    zl = ctx.decrypt_decode_slots(low).real
+    br = np.array([reverse_bits(i, PARAMS.log_slots) for i in range(SLOTS)])
+    np.testing.assert_allclose(zu, v[br], atol=2e-2)
+    np.testing.assert_allclose(zl, v[br + SLOTS], atol=2e-2)
+
+    out = btp.stoc(up, low)
+    assert out.level >= 1
+    got = ctx.decrypt_decode_coeffs(out)
+    np.testing.assert_allclose(got, v, atol=3e-2)
+
+
+def test_sparse_bootstrap_roundtrip(ctx):
+    """stride-2 coeffs (log_sparse=1): one folded ct through the halves."""
+    ls = 1
+    btp = boot(ctx, ls)
+    v = np.zeros(N)
+    v[:: 1 << ls] = RNG.uniform(-1, 1, N >> ls)
+    ct = enc_level0(ctx, v, btp.delta0)
+    folded, none = btp.ctos(ct)
+    assert none is None
+    n_sub = SLOTS >> ls
+    z = ctx.decrypt_decode_slots(folded).real
+    cp = v[:: 1 << ls]                      # subring coeffs c'
+    br = np.array([reverse_bits(i, PARAMS.log_slots - ls) for i in range(n_sub)])
+    np.testing.assert_allclose(z[:n_sub], cp[br], atol=2e-2)
+    np.testing.assert_allclose(z[n_sub: 2 * n_sub], cp[br + n_sub], atol=2e-2)
+
+    out = btp.stoc(folded, None)
+    got = ctx.decrypt_decode_coeffs(out)
+    np.testing.assert_allclose(got, v, atol=3e-2)
