@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: encrypted 3×3 packed convolution (the reference's `conv 3 0 1`).
+
+Runs the full homomorphic conv+BN layer — 4 NTT-domain ct×pt channel
+products + SetScale + the log-depth pack butterfly (4 monomial muls,
+4 Galois rotations with hybrid key-switch) — at the reference's own
+geometry: logN=16, 128×128 spatial grid, 4 channels
+(/root/reference/main.go:578: batch table {4,…}×width {128,…}).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the Go reference binary (test_run conv 3 0 1, "Ours" path) on
+this container's CPU, measured once with synthetic-but-identically-sized
+inputs: conv (with BN) wall-clock.  See BASELINE_NOTES below.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Go reference `test_run conv 3 0 1` on this container: "Ours" path
+# "Conv (with BN) Done in" wall-clock, seconds (single-threaded Go,
+# Lattigo fork; measured in round 1 — see PROGRESS notes).
+GO_REFERENCE_CONV_S = 3.44
+
+
+def main():
+    import jax
+
+    from optimal_conv_tpu.ckks.params import CkksParams
+    from optimal_conv_tpu.ckks.context import CkksContext
+    from optimal_conv_tpu.ops import conv as convops
+
+    log_n = 16
+    in_wid, ker_wid, batch = 128, 3, 4
+    raw_wid = in_wid - ker_wid // 2
+    params = CkksParams(log_n=log_n, logq=(60, 45), logp=(61,),
+                        log_scale=30, h=192)
+    ctx = CkksContext(params, seed=0)
+    rng = np.random.default_rng(0)
+
+    img = rng.uniform(-1, 1, (raw_wid, raw_wid, batch))
+    ker = rng.uniform(-1, 1, (ker_wid, ker_wid, batch, batch)) / 9.0
+    bn_a = rng.uniform(0.8, 1.2, batch)
+    bn_b = rng.uniform(-0.2, 0.2, batch)
+
+    inp = convops.prep_input(img.ravel(), raw_wid, in_wid, params.n, 1)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
+
+    def run():
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a, bn_b, in_wid,
+                                   ker_wid, batch, batch, 1, float(1 << 30))
+        jax.block_until_ready((out.c0, out.c1))
+        return out
+
+    run()                      # warmup: compiles + key generation
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    dt = (time.perf_counter() - t0) / iters
+
+    # correctness spot check
+    cfs = ctx.decrypt_decode_coeffs(out)
+    got = convops.post_process(cfs, raw_wid, in_wid)
+    got = got.reshape(raw_wid, raw_wid, -1)[:, :, :batch]
+    want = convops.conv2d_same_np(img, ker) * bn_a + bn_b
+    err = float(np.max(np.abs(got - want)))
+    assert err < 1e-2, f"conv mismatch: {err}"
+
+    print(json.dumps({
+        "metric": "encrypted_conv3x3_batch4_latency",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(GO_REFERENCE_CONV_S / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,19 @@ class CkksContext:
         self.sk2_ntt = p.ntt.ntt(jnp.asarray(sk2_res), all_idx)
 
         self._swk_cache: dict = {}
+        self._jit_cache: dict = {}
+        self._pt_cache: dict = {}
+
+    def _jitted(self, key, builder):
+        """Per-(name, level) compiled kernels; tables are captured as
+        constants at trace time, key data (swk digits, permutations)
+        stay runtime args so one compilation serves every key."""
+        f = self._jit_cache.get(key)
+        if f is None:
+            import jax
+            f = jax.jit(builder())
+            self._jit_cache[key] = f
+        return f
 
     # ------------------------------------------------------------------
     # sampling helpers
@@ -181,55 +194,65 @@ class CkksContext:
     # key switching core
     # ------------------------------------------------------------------
 
-    def decompose(self, c1: jnp.ndarray, level: int) -> list[jnp.ndarray]:
-        """c1 (NTT, [l+1,N]) → per-digit extensions to Q_l∪P (coeff domain)."""
+    def _build_decompose(self, level: int):
         p = self.params
         idx = p.q_idx(level)
         qp = p.qp_idx(level)
-        c1c = p.ntt.intt(c1, idx)
-        out = []
-        for digit in p.digits(level):
-            ext = p.extender(digit, qp).extend(c1c[np.asarray(digit)])
-            out.append(ext)
-        return out
+        digits = p.digits(level)
+        exts = [p.extender(d, qp) for d in digits]
+        rows = [np.asarray(d) for d in digits]
+        ntt = p.ntt
 
-    def keyswitch_ext(self, digits_coeff: list[jnp.ndarray], level: int,
-                      swk: SwitchingKey) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Inner product of decomposed digits with the key, then ÷P.
+        def f(c1):
+            c1c = ntt.intt(c1, idx)
+            return jnp.stack([e.extend(c1c[r]) for e, r in zip(exts, rows)])
 
-        digits_coeff: coeff-domain extensions (from decompose, possibly
-        permuted by an automorphism).  Returns (ks0, ks1) NTT-domain on
-        Q_level limbs.
-        """
+        return f
+
+    def _ks_core_builder(self, level: int):
+        """digits_coeff [beta, l+1+P, N] × key → (ks0, ks1) on Q_level."""
         p = self.params
-        assert swk.level == level
         qp = p.qp_idx(level)
-        q, qinv, _, _, _, _, _ = p.ntt.tabs(qp)
-        ext = jnp.stack(digits_coeff)                    # [beta, l+1+P, N]
-        ext_ntt = p.ntt.ntt(ext, qp)
-        t0 = mm.mont_mul(ext_ntt, swk.d0, q, qinv)
-        t1 = mm.mont_mul(ext_ntt, swk.d1, q, qinv)
-        acc0, acc1 = t0[0], t1[0]
-        for d in range(1, ext.shape[0]):
-            acc0 = mm.add_mod(acc0, t0[d], q)
-            acc1 = mm.add_mod(acc1, t1[d], q)
-        return self._mod_down(acc0, level), self._mod_down(acc1, level)
-
-    def _mod_down(self, acc: jnp.ndarray, level: int) -> jnp.ndarray:
-        """[l+1+P, N] NTT → [l+1, N] NTT: (acc - [acc]_P)/P."""
-        p = self.params
         idx = p.q_idx(level)
-        pidx = p.p_idx()
         nq = level + 1
-        q, qinv, _, _, _, _, _ = p.ntt.tabs(idx)
-        acc_p = p.ntt.intt(acc[nq:], pidx)
-        ext = p.extender(pidx, idx).extend(acc_p)
-        ext_ntt = p.ntt.ntt(ext, idx)
-        diff = mm.sub_mod(acc[:nq], ext_ntt, q)
-        return mm.mont_mul(diff, p.p_inv_mont(level), q, qinv)
+        q, qinv, _, _, _, _, _ = p.ntt.tabs(qp)
+        qq, qqinv, _, _, _, _, _ = p.ntt.tabs(idx)
+        pidx = p.p_idx()
+        ext_p = p.extender(pidx, idx)
+        pinv = p.p_inv_mont(level)
+        ntt = p.ntt
+
+        def mod_down(acc):
+            acc_p = ntt.intt(acc[nq:], pidx)
+            ext = ext_p.extend(acc_p)
+            diff = mm.sub_mod(acc[:nq], ntt.ntt(ext, idx), qq)
+            return mm.mont_mul(diff, pinv, qq, qqinv)
+
+        def core(ext_coeff, d0, d1):
+            ext_ntt = ntt.ntt(ext_coeff, qp)
+            t0 = mm.mont_mul(ext_ntt, d0, q, qinv)
+            t1 = mm.mont_mul(ext_ntt, d1, q, qinv)
+            acc0, acc1 = t0[0], t1[0]
+            for d in range(1, d0.shape[0]):
+                acc0 = mm.add_mod(acc0, t0[d], q)
+                acc1 = mm.add_mod(acc1, t1[d], q)
+            return mod_down(acc0), mod_down(acc1)
+
+        return core
 
     def keyswitch(self, c1: jnp.ndarray, level: int, swk: SwitchingKey):
-        return self.keyswitch_ext(self.decompose(c1, level), level, swk)
+        assert swk.level == level
+
+        def builder():
+            dec = self._build_decompose(level)
+            core = self._ks_core_builder(level)
+
+            def f(c1, d0, d1):
+                return core(dec(c1), d0, d1)
+
+            return f
+
+        return self._jitted(("ks", level), builder)(c1, swk.d0, swk.d1)
 
     # ------------------------------------------------------------------
     # evaluator: arithmetic
@@ -300,20 +323,31 @@ class CkksContext:
         return out.with_scale(a.scale * const_scale)
 
     def mul_ct(self, a: Ciphertext, b: Ciphertext, relin: bool = True) -> Ciphertext:
-        """ct × ct with immediate relinearization."""
+        """ct × ct with immediate relinearization (one fused kernel)."""
         assert a.level == b.level
-        lvl = a.level
-        q, qinv, r2, _, _, _, _ = self._qtabs(lvl)
-        d0 = mm.mul_mod(a.c0, b.c0, q, qinv, r2)
-        d1 = mm.add_mod(mm.mul_mod(a.c0, b.c1, q, qinv, r2),
-                        mm.mul_mod(a.c1, b.c0, q, qinv, r2), q)
-        d2 = mm.mul_mod(a.c1, b.c1, q, qinv, r2)
-        scale = a.scale * b.scale
         if not relin:
             raise NotImplementedError("degree-2 ciphertexts are always relinearized")
-        ks0, ks1 = self.keyswitch(d2, lvl, self.relin_key(lvl))
-        return Ciphertext(mm.add_mod(d0, ks0, q), mm.add_mod(d1, ks1, q),
-                          level=lvl, scale=scale)
+        lvl = a.level
+        rlk = self.relin_key(lvl)
+
+        def builder():
+            q, qinv, r2, _, _, _, _ = self._qtabs(lvl)
+            dec = self._build_decompose(lvl)
+            core = self._ks_core_builder(lvl)
+
+            def f(a0, a1, b0, b1, d0k, d1k):
+                d0 = mm.mul_mod(a0, b0, q, qinv, r2)
+                d1 = mm.add_mod(mm.mul_mod(a0, b1, q, qinv, r2),
+                                mm.mul_mod(a1, b0, q, qinv, r2), q)
+                d2 = mm.mul_mod(a1, b1, q, qinv, r2)
+                ks0, ks1 = core(dec(d2), d0k, d1k)
+                return mm.add_mod(d0, ks0, q), mm.add_mod(d1, ks1, q)
+
+            return f
+
+        c0, c1 = self._jitted(("mulct", lvl), builder)(
+            a.c0, a.c1, b.c0, b.c1, rlk.d0, rlk.d1)
+        return Ciphertext(c0, c1, level=lvl, scale=a.scale * b.scale)
 
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.mul_ct(a, a)
@@ -327,25 +361,33 @@ class CkksContext:
         p = self.params
         lvl = a.level
         assert lvl >= 1
-        idx = p.q_idx(lvl)
-        sub_idx = idx[:-1]
-        q, qinv, _, r1, _, _, _ = p.ntt.tabs(sub_idx)
         q_top = p.q_moduli[lvl]
-        half = jnp.uint64(q_top // 2)
-        qtop_mod = jnp.asarray(np.array(
-            [q_top % qi for qi in p.q_moduli[:lvl]], dtype=np.uint64)[:, None])
-        qinv_last = p.qlast_inv_mont(lvl)
 
-        def dive(c):
-            t = p.ntt.intt(c[lvl:], (idx[-1],))          # [1, N] coeff
-            red = mm.mont_mul(t, r1, q, qinv)            # t mod q_i, [lvl, N]
-            red = jnp.where(t > half, mm.sub_mod(red, qtop_mod, q), red)
-            red_ntt = p.ntt.ntt(red, sub_idx)
-            return mm.mont_mul(mm.sub_mod(c[:lvl], red_ntt, q), qinv_last,
-                               q, qinv)
+        def builder():
+            idx = p.q_idx(lvl)
+            sub_idx = idx[:-1]
+            q, qinv, _, r1, _, _, _ = p.ntt.tabs(sub_idx)
+            half = jnp.uint64(q_top // 2)
+            qtop_mod = jnp.asarray(np.array(
+                [q_top % qi for qi in p.q_moduli[:lvl]], dtype=np.uint64)[:, None])
+            qinv_last = p.qlast_inv_mont(lvl)
+            ntt = p.ntt
 
-        return Ciphertext(dive(a.c0), dive(a.c1), level=lvl - 1,
-                          scale=a.scale / q_top)
+            def dive(c):
+                t = ntt.intt(c[lvl:], (idx[-1],))        # [1, N] coeff
+                red = mm.mont_mul(t, r1, q, qinv)        # t mod q_i, [lvl, N]
+                red = jnp.where(t > half, mm.sub_mod(red, qtop_mod, q), red)
+                red_ntt = ntt.ntt(red, sub_idx)
+                return mm.mont_mul(mm.sub_mod(c[:lvl], red_ntt, q), qinv_last,
+                                   q, qinv)
+
+            def f(c0, c1):
+                return dive(c0), dive(c1)
+
+            return f
+
+        c0, c1 = self._jitted(("rescale", lvl), builder)(a.c0, a.c1)
+        return Ciphertext(c0, c1, level=lvl - 1, scale=a.scale / q_top)
 
     def drop_level(self, a: Ciphertext, levels: int) -> Ciphertext:
         if levels <= 0:
@@ -375,18 +417,31 @@ class CkksContext:
     # ------------------------------------------------------------------
 
     def apply_galois(self, a: Ciphertext, g: int) -> Ciphertext:
-        """φ_g + key-switch back to s."""
+        """φ_g + key-switch back to s (one fused kernel, perm as arg)."""
         p = self.params
         g = g % (2 * p.n)
         if g == 1:
             return a
+        lvl = a.level
+        swk = self.galois_key(g, lvl)
         perm = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
-        c0p = nttmod.apply_galois_ntt(a.c0, perm)
-        c1p = nttmod.apply_galois_ntt(a.c1, perm)
-        ks0, ks1 = self.keyswitch(c1p, a.level, self.galois_key(g, a.level))
-        q = self._qtabs(a.level)[0]
-        return Ciphertext(mm.add_mod(c0p, ks0, q), ks1, level=a.level,
-                          scale=a.scale)
+
+        def builder():
+            q = self._qtabs(lvl)[0]
+            dec = self._build_decompose(lvl)
+            core = self._ks_core_builder(lvl)
+
+            def f(c0, c1, perm, d0, d1):
+                c0p = nttmod.apply_galois_ntt(c0, perm)
+                c1p = nttmod.apply_galois_ntt(c1, perm)
+                ks0, ks1 = core(dec(c1p), d0, d1)
+                return mm.add_mod(c0p, ks0, q), ks1
+
+            return f
+
+        c0, c1 = self._jitted(("galois", lvl), builder)(
+            a.c0, a.c1, perm, swk.d0, swk.d1)
+        return Ciphertext(c0, c1, level=lvl, scale=a.scale)
 
     def rotate(self, a: Ciphertext, k: int) -> Ciphertext:
         """Left-rotate slots by k (reference lRot / evaluator.Rotate)."""
@@ -402,27 +457,35 @@ class CkksContext:
         /root/reference/conv.go:133)."""
         p = self.params
         lvl = a.level
-        idx = p.q_idx(lvl)
-        qp = p.qp_idx(lvl)
-        q = self._qtabs(lvl)[0]
-        qp_q = p.ntt.tabs(qp)[0]
-        digits = self.decompose(a.c1, lvl)
+        dec = self._jitted(("dec", lvl), lambda: self._build_decompose(lvl))
+        digits = dec(a.c1)
+
+        def builder():
+            q = self._qtabs(lvl)[0]
+            qp_q = p.ntt.tabs(p.qp_idx(lvl))[0]
+            core = self._ks_core_builder(lvl)
+
+            def f(c0, digs, src, flip, perm_ntt, d0, d1):
+                perm_digits = nttmod.apply_galois_coeff(digs, src, flip, qp_q)
+                c0p = nttmod.apply_galois_ntt(c0, perm_ntt)
+                ks0, ks1 = core(perm_digits, d0, d1)
+                return mm.add_mod(c0p, ks0, q), ks1
+
+            return f
+
+        froth = self._jitted(("hoistrot", lvl), builder)
         out = {}
         for k in rots:
             if k % p.slots == 0:
                 out[k] = a
                 continue
             g = nttmod.rot_to_galois(k, p.log_n)
+            swk = self.galois_key(g, lvl)
             src, flip = nttmod.galois_perm_coeff(p.log_n, g)
-            srcj, flipj = jnp.asarray(src), jnp.asarray(flip)
-            perm_digits = [
-                nttmod.apply_galois_coeff(d, srcj, flipj, qp_q) for d in digits]
             perm_ntt = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
-            c0p = nttmod.apply_galois_ntt(a.c0, perm_ntt)
-            ks0, ks1 = self.keyswitch_ext(perm_digits, lvl,
-                                          self.galois_key(g, lvl))
-            out[k] = Ciphertext(mm.add_mod(c0p, ks0, q), ks1, level=lvl,
-                                scale=a.scale)
+            c0, c1 = froth(a.c0, digits, jnp.asarray(src), jnp.asarray(flip),
+                           perm_ntt, swk.d0, swk.d1)
+            out[k] = Ciphertext(c0, c1, level=lvl, scale=a.scale)
         return out
 
     # ------------------------------------------------------------------

@@ -115,9 +115,13 @@ class NttContext:
         got = self._cache.get(idx)
         if got is None:
             sel = list(idx)
-            got = tuple(jnp.asarray(t[sel]) for t in (
-                self._np_q, self._np_qinv, self._np_r2, self._np_r1,
-                self._np_psi, self._np_ipsi, self._np_ninv))
+            # ensure_compile_time_eval: this cache may first be populated
+            # inside a jit trace; the tables must be concrete constants,
+            # never tracers (they are reused across compilations).
+            with jax.ensure_compile_time_eval():
+                got = tuple(jnp.asarray(t[sel]) for t in (
+                    self._np_q, self._np_qinv, self._np_r2, self._np_r1,
+                    self._np_psi, self._np_ipsi, self._np_ninv))
             self._cache[idx] = got
         return got
 

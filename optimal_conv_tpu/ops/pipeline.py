@@ -38,7 +38,17 @@ from .relu import eval_relu
 # ---------------------------------------------------------------------------
 
 def _mask_pt(ctx: CkksContext, mask: np.ndarray, level: int, scale: float):
-    return ctx.encoder.encode_slots(mask.astype(np.complex128), scale, level)
+    """Encode (and cache) a repack mask plaintext.  Masks are long-lived
+    per-model tables; keying the cache on the array's identity avoids
+    re-running the slot FFT + CRT on every layer invocation."""
+    key = (id(mask), level, scale)
+    pt = ctx._pt_cache.get(key)
+    if pt is None:
+        pt = ctx.encoder.encode_slots(mask.astype(np.complex128), scale, level)
+        ctx._pt_cache[key] = (pt, mask)     # keep mask alive so id is stable
+    else:
+        pt = pt[0]
+    return pt
 
 
 def keep_ctxt(ctx: CkksContext, ct: Ciphertext, mask: np.ndarray) -> Ciphertext:
