@@ -60,10 +60,10 @@ class CkksContext:
         sk_res = mm.centered_to_residues(s, p.moduli)
         self.sk_ntt = p.ntt.ntt(jnp.asarray(sk_res), all_idx)     # [LQP, N]
 
-        # s^2 (for relinearization): exact integer square via negacyclic conv
-        s2 = _negacyclic_int_conv(s, s)
-        sk2_res = mm.centered_to_residues(s2, p.moduli)
-        self.sk2_ntt = p.ntt.ntt(jnp.asarray(sk2_res), all_idx)
+        # s^2 (for relinearization): pointwise square in the NTT domain —
+        # exact, the negacyclic ring product is the NTT pointwise product
+        q, qinv, r2, _, _, _, _ = p.ntt.tabs(all_idx)
+        self.sk2_ntt = mm.mul_mod(self.sk_ntt, self.sk_ntt, q, qinv, r2)
 
         self._swk_cache: dict = {}
         self._jit_cache: dict = {}
@@ -517,12 +517,3 @@ class CkksContext:
 
     def div_by_i(self, a: Ciphertext) -> Ciphertext:
         return self.mul_monomial(a, 3 * self.params.n // 2)
-
-
-def _negacyclic_int_conv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    n = len(a)
-    full = np.convolve(a.astype(object), b.astype(object))
-    out = np.zeros(n, dtype=object)
-    out[:n] = full[:n]
-    out[: n - 1] -= full[n:]
-    return out

@@ -164,22 +164,34 @@ class ResNetRunner:
         return logits
 
     def _fc_head(self, ct, w: ResNetWeights) -> np.ndarray:
-        """Reduce-mean + FC as one conv with replicated taps
-        (/root/reference/test.go:281-338)."""
+        """Reduce-mean + FC as one conv with replicated taps; for
+        fc_out > real_batch[2] (CIFAR-100) the head splits into two
+        half-width convs exactly like the reference
+        (/root/reference/test.go:281-338, 291-317)."""
+        cfg = self.cfg
+        b3 = cfg.real_batch[2]
+        fc_out = cfg.fc_out
+        if fc_out <= b3:
+            return self._fc_conv(ct, w.fc_w, w.fc_b)
+        assert fc_out % 2 == 0 and fc_out // 2 <= b3
+        lo = self._fc_conv(ct, w.fc_w[:, : fc_out // 2], w.fc_b[: fc_out // 2])
+        hi = self._fc_conv(ct, w.fc_w[:, fc_out // 2:], w.fc_b[fc_out // 2:])
+        return np.concatenate([lo, hi])
+
+    def _fc_conv(self, ct, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndarray:
         ctx, cfg = self.ctx, self.cfg
         raw2 = cfg.raw_in_wids[2]
         kw = raw2 if raw2 % 2 == 1 else raw2 + 1
         b3 = cfg.real_batch[2]
-        fc_out = cfg.fc_out
-        # kernel [kw, kw, b3, fc_out], every tap = fc weight
-        ker = np.broadcast_to(w.fc_w[None, None], (kw, kw, b3, fc_out)).copy()
-        bn_a = np.full(fc_out, 1.0 / (raw2 * raw2))
-        bn_b = np.asarray(w.fc_b)
-        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a, bn_b,
-                                   cfg.in_wids[2], kw, b3, fc_out,
-                                   self.norm[2], float(1 << 30))
+        n_out = fc_w.shape[1]
+        # kernel [kw, kw, b3, n_out], every tap = fc weight
+        ker = np.broadcast_to(fc_w[None, None], (kw, kw, b3, n_out)).copy()
+        bn_a = np.full(n_out, 1.0 / (raw2 * raw2))
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a,
+                                   np.asarray(fc_b), cfg.in_wids[2], kw, b3,
+                                   n_out, self.norm[2], float(1 << 30))
         cfs = ctx.decrypt_decode_coeffs(out)
         # logits at spatial position (kw/2+1, kw/2+1), channel stride norm
         mb = self.max_batch[2]
         ctr = (kw // 2) * cfg.in_wids[2] * mb + (kw // 2) * mb
-        return cfs[ctr: ctr + self.norm[2] * fc_out: self.norm[2]]
+        return cfs[ctr: ctr + self.norm[2] * n_out: self.norm[2]]

@@ -1,0 +1,144 @@
+"""Prior-art ("BL") slot-domain convolution — the A/B baseline.
+
+Replaces the reference's baseline path (SURVEY.md R24/R26:
+reshape_input_BL / reshape_ker_BL / preConv_BL / postConv_BL /
+evalConv_BN_BL_test / evalRMFC_BL, /root/reference/conv.go:57-178,
+eval.go:61-218, test_BL.go): the classic SISO slot-packed conv — k²
+hoisted rotations of the input, per-tap masked plaintext multiplies,
+then rotate-sum over out-channel offsets — kept here so every
+``conv``/``convReLU`` invocation can run prior-art and the paper's
+method back-to-back on identical data (/root/reference/main.go:639-643).
+
+Layout: slot t of the ciphertext holds channel b = t // (w·w) at
+spatial position t mod (w·w) (row-major), i.e. image-per-channel
+blocks — the opposite of the coefficient path's channel-interleaved
+packing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from ..ckks.types import Ciphertext
+
+
+def reshape_input_bl(raw: np.ndarray, in_wid: int) -> np.ndarray:
+    """1-D HWC vector → per-channel slot blocks (reshape_input_BL)."""
+    batch = len(raw) // (in_wid * in_wid)
+    out = np.zeros(in_wid * in_wid * batch)
+    k = 0
+    for i in range(in_wid):
+        for j in range(in_wid):
+            for b in range(batch):
+                out[i * in_wid + j + b * in_wid * in_wid] = raw[k]
+                k += 1
+    return out
+
+
+def reshape_ker_bl(ker_in: np.ndarray, bn_a: np.ndarray, ker_wid: int,
+                   in_b: int, out_b: int, max_bat: int,
+                   norm: int = 1) -> np.ndarray:
+    """Flat kernel → [kh, kw, max_bat, max_bat] with BN fold + overload."""
+    ker = np.zeros((ker_wid, ker_wid, max_bat, max_bat))
+    for i in range(ker_wid):
+        for j in range(ker_wid):
+            for ib in range(in_b):
+                for ob in range(out_b):
+                    ker[i, j, norm * ib, norm * ob] = \
+                        ker_in[ob + ib * out_b + j * out_b * in_b
+                               + i * out_b * in_b * ker_wid] * bn_a[ob]
+    return ker
+
+
+def eval_conv_bn_bl(ctx: CkksContext, ct_in: Ciphertext, ker_in: np.ndarray,
+                    bn_a: np.ndarray, bn_b: np.ndarray, in_wid: int,
+                    ker_wid: int, real_ib: int, real_ob: int,
+                    pad: int = 0) -> Ciphertext:
+    """SISO conv: k² hoisted input rotations, masked per-tap pt-mul
+    accumulate, out-channel rotate-sum, + BN bias."""
+    p = ctx.params
+    in_size = in_wid * in_wid
+    max_batch = p.slots // in_size
+    ker = reshape_ker_bl(ker_in, bn_a, ker_wid, real_ib, real_ob, max_batch)
+
+    # hoisted rotations over the k² neighborhood (preConv_BL)
+    half = ker_wid // 2
+    rots = [i * in_wid + j for i in range(-half, half + 1)
+            for j in range(-half, half + 1)]
+    ct_rots = ctx.rotate_hoisted(ct_in, rots)
+
+    ct_out = None
+    for rot in range(max_batch):
+        acc = None
+        for i in range(-half, half + 1):
+            for j in range(-half, half + 1):
+                post = np.zeros(p.slots, dtype=np.complex128)
+                any_nz = False
+                for b in range(max_batch):
+                    kv = ker[i + half, j + half, b, (b - rot) % max_batch]
+                    if kv == 0.0:
+                        continue
+                    blk = np.zeros((in_wid, in_wid))
+                    lo_i = max(0, -i)
+                    hi_i = min(in_wid - pad, in_wid - pad - i)
+                    lo_j = max(0, -j)
+                    hi_j = min(in_wid - pad, in_wid - pad - j)
+                    blk[lo_i:hi_i, lo_j:hi_j] = kv
+                    post[b * in_size:(b + 1) * in_size] = blk.ravel()
+                    any_nz = True
+                if not any_nz:
+                    continue
+                pt = ctx.encoder.encode_slots(post, p.scale, ct_in.level)
+                t = ctx.mul_plain(ct_rots[i * in_wid + j], pt)
+                acc = t if acc is None else ctx.add(acc, t)
+        if acc is None:
+            continue
+        if rot:
+            acc = ctx.rotate(acc, rot * in_size)
+        ct_out = acc if ct_out is None else ctx.add(ct_out, acc)
+
+    bias = np.zeros(p.slots, dtype=np.complex128)
+    for ob in range(real_ob):
+        blk = np.zeros((in_wid, in_wid))
+        blk[: in_wid - pad, : in_wid - pad] = bn_b[ob]
+        bias[ob * in_size:(ob + 1) * in_size] = blk.ravel()
+    pt_b = ctx.encoder.encode_slots(bias, ct_out.scale, ct_out.level,
+                                    mont=False)
+    return ctx.add_plain(ct_out, pt_b)
+
+
+def eval_rmfc_bl(ctx: CkksContext, ct_in: Ciphertext, fc_w: np.ndarray,
+                 fc_b: np.ndarray, in_batch: int, spatial: int) -> Ciphertext:
+    """Reduce-mean + FC via rotate-sum + diagonal method (evalRMFC_BL)."""
+    p = ctx.params
+    out_num = fc_w.shape[1]
+    blk = p.slots // in_batch            # slots per channel block
+    # rotate-and-sum the spatial positions (power-of-two ladder)
+    ct_avg = ct_in
+    step = 1
+    while step < spatial:
+        ct_avg = ctx.add(ct_avg, ctx.rotate(ct_avg, step))
+        step *= 2
+    # diagonal method over channel blocks
+    ct_res = None
+    for d in range(in_batch):
+        diag = np.zeros(p.slots, dtype=np.complex128)
+        used = False
+        for j in range(out_num):
+            src = (d + j) % in_batch
+            diag[src * blk] = fc_w[src, j] / spatial
+            used = True
+        if not used:
+            continue
+        pt = ctx.encoder.encode_slots(diag, p.scale, ct_avg.level)
+        t = ctx.mul_plain(ct_avg, pt)
+        if d:
+            t = ctx.rotate(t, d * blk)
+        ct_res = t if ct_res is None else ctx.add(ct_res, t)
+    bias = np.zeros(p.slots, dtype=np.complex128)
+    for j in range(out_num):
+        bias[j * blk] = fc_b[j]
+    pt_b = ctx.encoder.encode_slots(bias, ct_res.scale, ct_res.level,
+                                    mont=False)
+    return ctx.add_plain(ct_res, pt_b)

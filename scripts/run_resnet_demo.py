@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Encrypted ResNet end-to-end demo/benchmark.
+
+Runs the full sparse-packed encrypted ResNet (depth 8/14/20) on the
+available backend (TPU by default; pass --cpu for the host) against the
+plaintext mirror, printing per-block timings in the reference's format
+(/root/reference/test.go:361-367) and logits agreement.
+
+    python scripts/run_resnet_demo.py [--depth 8] [--logn 14] [--cpu] [--n 1]
+
+At --logn 16 the geometry equals the reference's CIFAR run (32×32×3
+input, real_batch (16,32,64)); smaller logn runs the same graph
+miniaturized (e.g. 14 → 16×16 inputs), useful for CPU smoke runs.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth", type=int, default=8, choices=(8, 14, 20))
+    ap.add_argument("--ker", type=int, default=3, choices=(3, 5, 7))
+    ap.add_argument("--logn", type=int, default=14)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from optimal_conv_tpu.ckks.params import boot_params, mini_boot_params
+    from optimal_conv_tpu.ckks.context import CkksContext
+    from optimal_conv_tpu.models.plain import random_weights, plain_forward
+    from optimal_conv_tpu.models.resnet import ResNetConfig, ResNetRunner
+
+    logn = args.logn
+    w0 = int(np.sqrt((1 << logn) / 64))          # so max_batch[0] = 64
+    cfg = ResNetConfig(ker_wid=args.ker, depth=args.depth,
+                       in_wids=(w0, w0 // 2, w0 // 4),
+                       real_batch=(16, 32, 64), init_pow=5.0, mid_pow=5.0,
+                       final_pow=5.0)
+    boot_kwargs = {}
+    if logn >= 15:
+        params = boot_params(logn)
+    else:
+        params = mini_boot_params(logn, n_relu=14)
+        boot_kwargs = dict(k_range=12.0, sin_deg=31, double_angle=3)
+
+    print(f"logN={logn} in_wids={cfg.in_wids} real_batch={cfg.real_batch} "
+          f"depth={args.depth} ker={args.ker}", flush=True)
+    t0 = time.perf_counter()
+    ctx = CkksContext(params, seed=0)
+    runner = ResNetRunner(ctx, cfg, boot_kwargs=boot_kwargs)
+    print(f"context+maps+bootstrappers built in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    w = random_weights(args.ker, args.depth, cfg.real_batch, seed=1)
+    rng = np.random.default_rng(args.seed)
+    raw0 = cfg.raw_in_wids[0]
+    for it in range(args.n):
+        image = rng.uniform(-1, 1, (raw0, raw0, 3))
+        timings = {}
+        t0 = time.perf_counter()
+        logits = runner.infer(image, w, timings)
+        total = time.perf_counter() - t0
+        plain = plain_forward(w, image, args.depth, cfg.raw_in_wids)
+        print(f"Blc1: {timings['blc1']:.1f}s  Blc1->2: {timings['blc1to2']:.1f}s  "
+              f"Blc2: {timings['blc2']:.1f}s  Blc2->3: {timings['blc2to3']:.1f}s  "
+              f"Blc3: {timings['blc3']:.1f}s  FC: {timings['fc']:.1f}s")
+        print(f"Total done in {total:.1f}s")
+        print("enc  logits:", np.array2string(logits, precision=4))
+        print("plain logits:", np.array2string(plain, precision=4))
+        print("argmax agree:", int(np.argmax(logits) == np.argmax(plain)),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

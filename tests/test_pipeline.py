@@ -63,3 +63,46 @@ def test_conv_bn_relu_sparse(ctx):
     assert err < 5e-2, f"max err {err}"
     # bulk of entries precise
     assert np.mean(np.abs(got - want) < 1e-2) > 0.98
+
+
+def test_strconv_bn_relu_sparse(ctx):
+    """Strided transition: StrConv_sparse (split-kernel double conv,
+    combined stride-2 ct bootstrapped at ls−1, comprs repack)."""
+    in_wid, ker_wid = 16, 3
+    raw_in = in_wid - ker_wid // 2          # 15
+    out_wid = in_wid // 2                   # 8
+    raw_out = out_wid - ker_wid // 2        # 7
+    max_in = N // (in_wid * in_wid)         # 16
+    norm_in, ls_in = 4, 2
+    real_ib = max_in // norm_in             # 4
+    max_out = N // (out_wid * out_wid)      # 64
+    norm_out = 8
+    real_ob = max_out // norm_out           # 8
+    ls_comb = ls_in - 1                     # combined strided ct stride 2
+
+    img = RNG.uniform(-0.8, 0.8, (raw_in, raw_in, real_ib))
+    ker = RNG.uniform(-1, 1, (ker_wid, ker_wid, real_ib, real_ob)) / 4.0
+    bn_a = RNG.uniform(0.8, 1.2, real_ob)
+    bn_b = RNG.uniform(-0.2, 0.2, real_ob)
+
+    inp = convops.prep_input(img.ravel(), raw_in, in_wid, N, norm_in)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, PARAMS.scale, 1))
+
+    m_idx, r_idx = rp.gen_comprs_sparse(N // 2, in_wid, raw_out, ls_comb, 0, 0)
+    maps = LayerMaps(m_idx=m_idx, r_idx=r_idx)
+    out = eval_conv_bn_relu(ctx, btp_for(ctx, ls_comb), ct, ker.ravel(), bn_a,
+                            bn_b, 0.0, POW, in_wid, raw_out, ker_wid, real_ib,
+                            real_ob, norm_out, 0, 1, 2, ls_comb,
+                            "StrConv_sparse", maps)
+    assert out.level >= 1
+
+    cfs = ctx.decrypt_decode_coeffs(out)
+    got = convops.post_process(cfs, raw_out, out_wid)
+    got = got.reshape(raw_out, raw_out, max_out)[:, :, ::norm_out][:, :, :real_ob]
+
+    full = convops.conv2d_same_np(img, ker) * bn_a + bn_b   # [15, 15, ob]
+    # strided sampling candidates: offset 0 or 1
+    cand = {o: relu_np(full[o::2, o::2][:raw_out, :raw_out]) for o in (0, 1)}
+    errs = {o: np.max(np.abs(got - c)) for o, c in cand.items()}
+    best = min(errs, key=errs.get)
+    assert errs[best] < 5e-2, f"stride errs {errs}"
