@@ -21,9 +21,10 @@ import time
 import numpy as np
 
 # Go reference `test_run conv 3 0 1` on this container: "Ours" path
-# "Conv (with BN) Done in" wall-clock, seconds (single-threaded Go,
-# Lattigo fork; measured in round 1 — see PROGRESS notes).
-GO_REFERENCE_CONV_S = 3.44
+# "Conv (with BN) Done in" wall-clock = conv_then_pack + BN-bias add
+# (kernel prep and en/decryption excluded), single-threaded Go/Lattigo
+# fork, measured round 1: mult 90.9ms + pack 182.2ms = 273.3ms.
+GO_REFERENCE_CONV_S = 0.2733
 
 
 def main():
@@ -49,14 +50,25 @@ def main():
     inp = convops.prep_input(img.ravel(), raw_wid, in_wid, params.n, 1)
     ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
 
+    # kernel prep outside the timed span, matching the reference's
+    # "Conv (with BN) Done in" = conv_then_pack + bias add
+    max_batch = params.n // (in_wid * in_wid)
+    out_scale = float(1 << 30)
+    pl = convops.prep_ker(ctx, ker.ravel(), bn_a, in_wid, ker_wid, batch,
+                          batch, 1, 1, 0, False)
+    b_coeffs = np.zeros(params.n)
+    for i, b in enumerate(bn_b):
+        b_coeffs[i::max_batch] = b
+    pl_b = ctx.encoder.encode_coeffs(b_coeffs, out_scale, 0, mont=False)
+
     def run():
-        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a, bn_b, in_wid,
-                                   ker_wid, batch, batch, 1, float(1 << 30))
+        out = convops.conv_then_pack(ctx, ct, pl, max_batch, 1, out_scale)
+        out = ctx.add_plain(out, pl_b)
         jax.block_until_ready((out.c0, out.c1))
         return out
 
     run()                      # warmup: compiles + key generation
-    iters = 3
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()

@@ -32,9 +32,23 @@ explicit 32-bit decompositions (see core/modmath.py) so the op mix is
 what the VPU actually executes, with Pallas kernels for the hot paths.
 """
 
+import os
+import pathlib
+
 import jax
 
 # 64-bit integers are required package-wide (CKKS moduli are 40-61 bit).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the evaluator compiles one kernel per
+# (op, level) pair (~170 for a full bootstrap pipeline); caching across
+# processes turns repeat runs / test invocations from minutes of XLA
+# compile time into milliseconds of cache hits.
+_cache_dir = os.environ.get(
+    "OPTIMAL_CONV_TPU_CACHE",
+    str(pathlib.Path.home() / ".cache" / "optimal_conv_tpu_xla"))
+pathlib.Path(_cache_dir).mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"

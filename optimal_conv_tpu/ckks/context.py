@@ -308,10 +308,15 @@ class CkksContext:
     def mul_scalar_int(self, a: Ciphertext, c: int) -> Ciphertext:
         """Multiply values by an exact integer (scale unchanged) — MulByPow2."""
         p = self.params
-        mods = p.q_moduli[: a.level + 1]
-        vals = np.array([c % q for q in mods], dtype=np.uint64)[:, None]
-        q, qinv, r2, _, _, _, _ = self._qtabs(a.level)
-        cm = mm.to_mont(jnp.asarray(vals), q, qinv, r2)
+        key = ("scl", c, a.level)
+        cm = self._pt_cache.get(key)
+        if cm is None:
+            mods = p.q_moduli[: a.level + 1]
+            vals = np.array([c % q for q in mods], dtype=np.uint64)[:, None]
+            q, qinv, r2, _, _, _, _ = self._qtabs(a.level)
+            cm = mm.to_mont(jnp.asarray(vals), q, qinv, r2)
+            self._pt_cache[key] = cm
+        q, qinv, _, _, _, _, _ = self._qtabs(a.level)
         return Ciphertext(mm.mont_mul(a.c0, cm, q, qinv),
                           mm.mont_mul(a.c1, cm, q, qinv),
                           level=a.level, scale=a.scale)
@@ -499,18 +504,30 @@ class CkksContext:
         k = k % (2 * p.n)
         if k == 0:
             return a
-        idx = p.q_idx(a.level)
-        mono = np.zeros(p.n, dtype=np.int64)
-        if k < p.n:
-            mono[k] = 1
-        else:
-            mono[k - p.n] = -1
-        res = mm.centered_to_residues(mono, p.q_moduli[: a.level + 1])
-        q, qinv, r2, _, _, _, _ = self._qtabs(a.level)
-        mono_ntt = mm.to_mont(p.ntt.ntt(jnp.asarray(res), idx), q, qinv, r2)
+        mono_ntt = self.monomial_pt(k, a.level)
+        q, qinv, _, _, _, _, _ = self._qtabs(a.level)
         return Ciphertext(mm.mont_mul(a.c0, mono_ntt, q, qinv),
                           mm.mont_mul(a.c1, mono_ntt, q, qinv),
                           level=a.level, scale=a.scale)
+
+    def monomial_pt(self, k: int, level: int) -> jnp.ndarray:
+        """Cached NTT+Montgomery form of X^k at `level` (the reference's
+        pl_idx table, gen_idxNlogs — /root/reference/conv.go:241)."""
+        p = self.params
+        key = ("mono", k, level)
+        mono_ntt = self._pt_cache.get(key)
+        if mono_ntt is None:
+            idx = p.q_idx(level)
+            mono = np.zeros(p.n, dtype=np.int64)
+            if k < p.n:
+                mono[k] = 1
+            else:
+                mono[k - p.n] = -1
+            res = mm.centered_to_residues(mono, p.q_moduli[: level + 1])
+            q, qinv, r2, _, _, _, _ = self._qtabs(level)
+            mono_ntt = mm.to_mont(p.ntt.ntt(jnp.asarray(res), idx), q, qinv, r2)
+            self._pt_cache[key] = mono_ntt
+        return mono_ntt
 
     def mul_by_i(self, a: Ciphertext) -> Ciphertext:
         return self.mul_monomial(a, self.params.n // 2)

@@ -21,6 +21,7 @@ encoding) is the primary packing.
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..ckks.context import CkksContext
 from ..ckks.types import Ciphertext, Plaintext
@@ -170,16 +171,109 @@ def conv_then_pack(ctx: CkksContext, ct_in: Ciphertext, pl_ker: list,
                    max_ob: int, norm: int, out_scale: float) -> Ciphertext:
     """One ct×pt NTT-domain product per (stride-norm) out-channel group,
     SetScale to out_scale/(max_ob/norm), then pack
-    (conv_then_pack, /root/reference/conv.go:522-546)."""
-    cts = [None] * max_ob
-    for i in range(max_ob):
-        if i % norm == 0:
-            c = ctx.mul_plain(ct_in, pl_ker[i])
-            cts[i] = ctx.set_scale(c, out_scale / (max_ob // norm))
-    out = pack_ctxts(ctx, cts, max_ob, max_ob // norm)
-    assert out.level == 0, out.level
+    (conv_then_pack, /root/reference/conv.go:522-546).
+
+    The whole thing — products, scale-fold+rescale to level 0, and the
+    log-depth butterfly with its level-0 Galois key-switches — runs as a
+    single jitted kernel cached per (max_ob, norm, scale signature)."""
+    per_scale = out_scale / (max_ob // norm)
+    kern = _conv_pack_kernel(ctx, max_ob, norm, ct_in.scale,
+                             pl_ker[0].scale, per_scale, ct_in.level)
+    pls = jnp.stack([pl_ker[i].poly for i in range(0, max_ob, norm)])
+    c0, c1 = kern(ct_in.c0, ct_in.c1, pls)
+    out = Ciphertext(c0, c1, level=0, scale=per_scale * (max_ob // norm))
     assert abs(out.scale / out_scale - 1) < 1e-9, (out.scale, out_scale)
     return out
+
+
+def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
+                      scale_in: float, scale_ker: float, per_scale: float,
+                      in_level: int):
+    """Build (and cache) the fused conv_then_pack kernel."""
+    key = ("convpack", max_ob, norm, round(np.log2(scale_in * scale_ker), 6),
+           round(np.log2(per_scale), 6), in_level)
+    f = ctx._jit_cache.get(key)
+    if f is not None:
+        return f
+
+    import jax
+    from ..core import modmath as mm
+    from ..core import ntt as nttmod
+
+    p = ctx.params
+    assert in_level == 1, "conv inputs live at the ECD level"
+    # SetScale fold: multiply by c = round(target·q1/scale), rescale by q1
+    q1 = p.q_moduli[1]
+    c_int = int(round(per_scale * q1 / (scale_in * scale_ker)))
+    assert c_int >= 1
+    mods1 = p.q_moduli[:2]
+    c_mont = mm.to_mont(
+        jnp.asarray(np.array([c_int % q for q in mods1],
+                             dtype=np.uint64)[:, None]),
+        *ctx.params.ntt.tabs((0, 1))[:2], ctx.params.ntt.tabs((0, 1))[2])
+
+    q01, qinv01, _, _, _, _, _ = p.ntt.tabs((0, 1))
+    q0, qinv0, _, _, _, _, _ = p.ntt.tabs((0,))
+
+    # rescale level 1 → 0 pieces
+    r1_0 = p.ntt.tabs((0,))[3]
+    half = jnp.uint64(q1 // 2)
+    q1_mod0 = jnp.uint64(q1 % p.q_moduli[0])
+    q1inv = p.qlast_inv_mont(1)
+    ntt = p.ntt
+
+    # pack butterfly structure (pack_ctxts, conv.go:266-300)
+    steps = []
+    step = max_ob // 2
+    log_step = max(step.bit_length() - 1, 0)
+    j = p.log_n - log_step
+    while step >= norm and step >= 1:
+        steps.append((step, log_step, j))
+        step //= 2
+        log_step -= 1
+        j += 1
+    monos = [ctx.monomial_pt(1 << ls, 0) for (_, ls, _) in steps]
+    perms = [jnp.asarray(nttmod.galois_perm_ntt(p.log_n, (1 << jj) + 1))
+             for (_, _, jj) in steps]
+    swks = [ctx.galois_key((1 << jj) + 1, 0) for (_, _, jj) in steps]
+    dec0 = ctx._build_decompose(0)
+    core0 = ctx._ks_core_builder(0)
+
+    def rescale10(c):
+        t = ntt.intt(c[1:], (1,))
+        red = mm.mont_mul(t, r1_0, q0, qinv0)
+        red = jnp.where(t > half, mm.sub_mod(red, q1_mod0, q0), red)
+        red_ntt = ntt.ntt(red, (0,))
+        return mm.mont_mul(mm.sub_mod(c[:1], red_ntt, q0), q1inv, q0, qinv0)
+
+    def fused(c0, c1, pls):
+        cts = [None] * max_ob
+        for ci, i in enumerate(range(0, max_ob, norm)):
+            m0 = mm.mont_mul(mm.mont_mul(c0, pls[ci], q01, qinv01), c_mont,
+                             q01, qinv01)
+            m1 = mm.mont_mul(mm.mont_mul(c1, pls[ci], q01, qinv01), c_mont,
+                             q01, qinv01)
+            cts[i] = (rescale10(m0), rescale10(m1))
+        for si, (stp, ls, jj) in enumerate(steps):
+            mono = monos[si]
+            perm = perms[si]
+            d0k, d1k = swks[si].d0, swks[si].d1
+            for i in range(0, stp, norm):
+                a0, a1 = cts[i]
+                b0 = mm.mont_mul(cts[i + stp][0], mono, q0, qinv0)
+                b1 = mm.mont_mul(cts[i + stp][1], mono, q0, qinv0)
+                t10 = mm.add_mod(a0, b0, q0)
+                t11 = mm.add_mod(a1, b1, q0)
+                t20 = nttmod.apply_galois_ntt(mm.sub_mod(a0, b0, q0), perm)
+                t21 = nttmod.apply_galois_ntt(mm.sub_mod(a1, b1, q0), perm)
+                ks0, ks1 = core0(dec0(t21), d0k, d1k)
+                cts[i] = (mm.add_mod(t10, mm.add_mod(t20, ks0, q0), q0),
+                          mm.add_mod(t11, ks1, q0))
+        return cts[0]
+
+    f = jax.jit(fused)
+    ctx._jit_cache[key] = f
+    return f
 
 
 def eval_conv_bn(ctx: CkksContext, ct_in: Ciphertext, ker_in: np.ndarray,

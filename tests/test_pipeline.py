@@ -16,7 +16,7 @@ from optimal_conv_tpu.ops import repack as rp
 from optimal_conv_tpu.ops.pipeline import eval_conv_bn_relu, LayerMaps
 from optimal_conv_tpu.ops.relu import relu_np
 
-PARAMS = mini_boot_params(log_n=12, n_relu=14)
+PARAMS = mini_boot_params(log_n=10, n_relu=14)
 RNG = np.random.default_rng(41)
 N = PARAMS.n
 POW = 4.0
