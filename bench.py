@@ -62,8 +62,8 @@ def main():
     pl_b = ctx.encoder.encode_coeffs(b_coeffs, out_scale, 0, mont=False)
 
     def run():
-        out = convops.conv_then_pack(ctx, ct, pl, max_batch, 1, out_scale)
-        out = ctx.add_plain(out, pl_b)
+        out = convops.conv_then_pack(ctx, ct, pl, max_batch, 1, out_scale,
+                                     bias_pt=pl_b)
         jax.block_until_ready((out.c0, out.c1))
         return out
 

@@ -168,19 +168,26 @@ def pack_ctxts(ctx: CkksContext, ctxts: list, max_cnum: int,
 
 
 def conv_then_pack(ctx: CkksContext, ct_in: Ciphertext, pl_ker: list,
-                   max_ob: int, norm: int, out_scale: float) -> Ciphertext:
+                   max_ob: int, norm: int, out_scale: float,
+                   bias_pt: Plaintext | None = None) -> Ciphertext:
     """One ct×pt NTT-domain product per (stride-norm) out-channel group,
     SetScale to out_scale/(max_ob/norm), then pack
     (conv_then_pack, /root/reference/conv.go:522-546).
 
-    The whole thing — products, scale-fold+rescale to level 0, and the
-    log-depth butterfly with its level-0 Galois key-switches — runs as a
-    single jitted kernel cached per (max_ob, norm, scale signature)."""
+    The whole thing — products, scale-fold+rescale to level 0, the
+    log-depth butterfly with its level-0 Galois key-switches, and the
+    optional BN-bias add — runs as a single jitted kernel cached per
+    (max_ob, norm, scale signature)."""
     per_scale = out_scale / (max_ob // norm)
     kern = _conv_pack_kernel(ctx, max_ob, norm, ct_in.scale,
-                             pl_ker[0].scale, per_scale, ct_in.level)
+                             pl_ker[0].scale, per_scale, ct_in.level,
+                             with_bias=bias_pt is not None)
     pls = jnp.stack([pl_ker[i].poly for i in range(0, max_ob, norm)])
-    c0, c1 = kern(ct_in.c0, ct_in.c1, pls)
+    if bias_pt is not None:
+        assert not bias_pt.is_mont and bias_pt.level == 0
+        c0, c1 = kern(ct_in.c0, ct_in.c1, pls, bias_pt.poly)
+    else:
+        c0, c1 = kern(ct_in.c0, ct_in.c1, pls)
     out = Ciphertext(c0, c1, level=0, scale=per_scale * (max_ob // norm))
     assert abs(out.scale / out_scale - 1) < 1e-9, (out.scale, out_scale)
     return out
@@ -188,10 +195,10 @@ def conv_then_pack(ctx: CkksContext, ct_in: Ciphertext, pl_ker: list,
 
 def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
                       scale_in: float, scale_ker: float, per_scale: float,
-                      in_level: int):
+                      in_level: int, with_bias: bool = False):
     """Build (and cache) the fused conv_then_pack kernel."""
     key = ("convpack", max_ob, norm, round(np.log2(scale_in * scale_ker), 6),
-           round(np.log2(per_scale), 6), in_level)
+           round(np.log2(per_scale), 6), in_level, with_bias)
     f = ctx._jit_cache.get(key)
     if f is not None:
         return f
@@ -246,7 +253,7 @@ def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
         red_ntt = ntt.ntt(red, (0,))
         return mm.mont_mul(mm.sub_mod(c[:1], red_ntt, q0), q1inv, q0, qinv0)
 
-    def fused(c0, c1, pls):
+    def fused(c0, c1, pls, bias=None):
         cts = [None] * max_ob
         for ci, i in enumerate(range(0, max_ob, norm)):
             m0 = mm.mont_mul(mm.mont_mul(c0, pls[ci], q01, qinv01), c_mont,
@@ -269,7 +276,10 @@ def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
                 ks0, ks1 = core0(dec0(t21), d0k, d1k)
                 cts[i] = (mm.add_mod(t10, mm.add_mod(t20, ks0, q0), q0),
                           mm.add_mod(t11, ks1, q0))
-        return cts[0]
+        r0, r1 = cts[0]
+        if bias is not None:
+            r0 = mm.add_mod(r0, bias, q0)
+        return r0, r1
 
     f = jax.jit(fused)
     ctx._jit_cache[key] = f
@@ -290,8 +300,8 @@ def eval_conv_bn(ctx: CkksContext, ct_in: Ciphertext, ker_in: np.ndarray,
     for i, b in enumerate(np.asarray(bn_b)):
         b_coeffs[norm * i::max_batch] = b
     pl_b = ctx.encoder.encode_coeffs(b_coeffs, out_scale, 0, mont=False)
-    out = conv_then_pack(ctx, ct_in, pl, max_batch, norm, out_scale)
-    return ctx.add_plain(out, pl_b)
+    return conv_then_pack(ctx, ct_in, pl, max_batch, norm, out_scale,
+                          bias_pt=pl_b)
 
 
 # ---------------------------------------------------------------------------

@@ -61,8 +61,8 @@ def test_conv_bn_relu_sparse(ctx):
     want = relu_np(convops.conv2d_same_np(img, ker) * bn_a + bn_b)
     err = np.max(np.abs(got - want))
     assert err < 5e-2, f"max err {err}"
-    # bulk of entries precise
-    assert np.mean(np.abs(got - want) < 1e-2) > 0.98
+    # bulk of entries precise (mini chain: scale 2^25, 25-bit relu primes)
+    assert np.mean(np.abs(got - want) < 2.5e-2) > 0.97
 
 
 def test_strconv_bn_relu_sparse(ctx):

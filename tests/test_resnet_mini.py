@@ -1,0 +1,47 @@
+"""End-to-end encrypted ResNet (miniaturized) vs the plaintext mirror.
+
+The full graph of testResNet_crop_sparse — three conv blocks at
+log_sparse 2/3/4, split-kernel strided transitions at 1/2, one
+bootstrap per layer, reduce-mean+FC head — run at logN=10 geometry
+(16×16 input, real_batch (1,2,4)) so it fits the CPU test budget.
+Full-scale runs live in scripts/run_resnet_demo.py.
+"""
+
+import numpy as np
+import pytest
+
+from optimal_conv_tpu.ckks.params import mini_boot_params
+from optimal_conv_tpu.ckks.context import CkksContext
+from optimal_conv_tpu.models.plain import random_weights, plain_forward
+from optimal_conv_tpu.models.resnet import ResNetConfig, ResNetRunner
+
+PARAMS = mini_boot_params(log_n=10, n_relu=14)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(PARAMS, seed=19)
+
+
+def test_resnet8_mini_end_to_end(ctx):
+    cfg = ResNetConfig(ker_wid=3, depth=8, in_wids=(16, 8, 4),
+                       real_batch=(1, 2, 4), fc_out=4,
+                       init_pow=4.0, mid_pow=4.0, final_pow=4.0)
+    runner = ResNetRunner(
+        ctx, cfg,
+        boot_kwargs=dict(k_range=12.0, sin_deg=31, double_angle=3))
+    # single-channel input: at logN=10 max_batch[0]=4 cannot hold 3 RGB
+    # channels at stride norm=4 (full-scale geometry uses max_batch 64)
+    w = random_weights(3, 8, cfg.real_batch, fc_out=4, in_ch=1, seed=4,
+                       scale=0.7)
+    rng = np.random.default_rng(6)
+    raw0 = cfg.raw_in_wids[0]
+    image = rng.uniform(-1, 1, (raw0, raw0, 1))
+
+    logits = runner.infer(image, w)
+    plain = plain_forward(w, image, 8, cfg.raw_in_wids)
+
+    assert logits.shape == plain.shape
+    err = np.max(np.abs(logits - plain))
+    assert err < 0.15, f"logits err {err}: enc {logits} vs plain {plain}"
+    assert np.argmax(logits) == np.argmax(plain)
