@@ -119,23 +119,23 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
     from .models.plain import random_weights, plain_forward
     from .models.resnet import ResNetConfig, ResNetRunner
 
-    if wide != 1:
-        raise SystemExit("wide>1 paths land in a later round")
     fc_out = 100 if cf100 else 10
+    batches = {1: (16, 32, 64), 2: (32, 64, 128), 3: (48, 96, 192)}[wide]
     cfg = ResNetConfig(ker_wid=ker_wid, depth=depth, cf100=cf100,
-                       fc_out=fc_out)
+                       real_batch=batches, wide=wide, fc_out=fc_out)
     params = boot_params(16)
     print("building context + keys ...")
     ctx = CkksContext(params, seed=0)
     runner = ResNetRunner(ctx, cfg)
-    w = random_weights(ker_wid, depth, cfg.real_batch, fc_out=fc_out, seed=1)
+    w = random_weights(ker_wid, depth, cfg.real_batch, fc_out=fc_out, seed=1,
+                       init_batch=cfg.init_batch if wide > 1 else None)
     rng = np.random.default_rng(2)
-    out_dir = f"Resnet_enc_results/results_crop_ker{ker_wid}_d{depth}_wid1"
+    out_dir = f"Resnet_enc_results/results_crop_ker{ker_wid}_d{depth}_wid{wide}"
     os.makedirs(out_dir, exist_ok=True)
     raw0 = cfg.raw_in_wids[0]
 
     for it in range(n_tests):
-        img_file = (f"Resnet_plain_data/crop_ker{ker_wid}_d{depth}_wid1/"
+        img_file = (f"Resnet_plain_data/crop_ker{ker_wid}_d{depth}_wid{wide}/"
                     f"test_image_{it}.csv")
         if os.path.exists(img_file):
             image = np.loadtxt(img_file).reshape(raw0, raw0, 3)

@@ -42,32 +42,43 @@ class ResNetWeights:
     fc_b: np.ndarray     # [fc_out]
 
 
+def channel_plan(depth: int, batches, in_ch: int = 3,
+                 init_batch: int | None = None) -> list[tuple[int, int]]:
+    """(cin, cout) per conv layer in graph order.  For wide models
+    (init_batch set) block 1 opens with in_ch→init_batch→b1, matching
+    the reference's wide driver (/root/reference/test.go:752-771)."""
+    n1, n2, n3 = NUM_BLOCKS[depth]
+    b1, b2, b3 = batches
+    plan = []
+    if init_batch is None:
+        plan.append((in_ch, b1))
+        plan += [(b1, b1)] * (n1 - 1)
+    else:
+        plan.append((in_ch, init_batch))
+        plan.append((init_batch, b1))
+        plan += [(b1, b1)] * (n1 - 2)
+    plan.append((b1, b2))          # transition 1 (stride 2)
+    plan += [(b2, b2)] * n2
+    plan.append((b2, b3))          # transition 2 (stride 2)
+    plan += [(b3, b3)] * n3
+    return plan
+
+
 def random_weights(ker_wid: int, depth: int, batches=(16, 32, 64),
                    fc_out: int = 10, in_ch: int = 3, seed: int = 0,
-                   scale: float = 0.5) -> ResNetWeights:
+                   scale: float = 0.5,
+                   init_batch: int | None = None) -> ResNetWeights:
     """He-style random weights, magnitudes tuned so activations stay in
     the ReLU approximation range."""
     rng = np.random.default_rng(seed)
-    n1, n2, n3 = NUM_BLOCKS[depth]
-    b1, b2, b3 = batches
+    b3 = batches[2]
     convs, bn_a, bn_b = [], [], []
-
-    def add(cin, cout):
+    for cin, cout in channel_plan(depth, batches, in_ch, init_batch):
         k = rng.normal(0, scale / np.sqrt(ker_wid * ker_wid * cin),
                        (ker_wid, ker_wid, cin, cout))
         convs.append(k)
         bn_a.append(rng.uniform(0.8, 1.2, cout))
         bn_b.append(rng.uniform(-0.1, 0.1, cout))
-
-    add(in_ch, b1)
-    for _ in range(n1 - 1):
-        add(b1, b1)
-    add(b1, b2)               # transition 1 (stride 2)
-    for _ in range(n2):
-        add(b2, b2)
-    add(b2, b3)               # transition 2 (stride 2)
-    for _ in range(n3):
-        add(b3, b3)
     fc_w = rng.normal(0, 1.0 / np.sqrt(b3), (b3, fc_out))
     fc_b = rng.normal(0, 0.1, fc_out)
     return ResNetWeights(convs, bn_a, bn_b, fc_w, fc_b)

@@ -33,9 +33,13 @@ class ResNetConfig:
     ker_wid: int = 3
     depth: int = 20
     cf100: bool = False
-    # packing geometry; defaults = reference CIFAR shapes at logN 16
+    # packing geometry; defaults = reference CIFAR shapes at logN 16.
+    # wide=2: real_batch (32,64,128), wide=3: (48,96,192)
+    # (/root/reference/test.go:680-693)
     in_wids: tuple = (32, 16, 8)
     real_batch: tuple = (16, 32, 64)
+    wide: int = 1
+    init_batch: int = 16          # first-layer width for wide models
     fc_out: int = 10
     init_pow: float = 6.0
     mid_pow: float = 6.0
@@ -68,21 +72,34 @@ class ResNetRunner:
         raw = cfg.raw_in_wids
         vec = n // 2
 
-        # keep-masks per block (gen_keep_vec_sparse, main.go:137-162)
+        # keep-masks per block: sparse for ls≥1, up/low pair for full pack
+        # (gen_keep_vec[_sparse], main.go:137-162 incl. wide3 branch)
         self.keep_maps = []
         for i, w in enumerate(cfg.in_wids):
-            mask = rp.gen_keep_vec_sparse(vec, w, raw[i], self.log_sparse[i])
-            self.keep_maps.append(LayerMaps(ext_idx=[mask, None]))
+            if self.log_sparse[i] == 0:
+                self.keep_maps.append(LayerMaps(ext_idx=[
+                    rp.gen_keep_vec(vec, w, raw[i], 0),
+                    rp.gen_keep_vec(vec, w, raw[i], 1)]))
+            else:
+                mask = rp.gen_keep_vec_sparse(vec, w, raw[i],
+                                              self.log_sparse[i])
+                self.keep_maps.append(LayerMaps(ext_idx=[mask, None]))
 
         # strided-transition maps (gen_comprs_sparse, main.go:164-224):
-        # combined stride-conv ct has log_sparse = ls_in − 1
+        # combined stride-conv ct has log_sparse = ls_in − 1 (or 0 for the
+        # wide3 StrConv_sparse_full transition); full pack needs both
+        # up/low map sets
         self.str_maps = []
         self.str_ls = []
         for i in (0, 1):
-            ls_comb = self.log_sparse[i] - 1
+            ls_comb = max(self.log_sparse[i] - 1, 0)
             m_idx, r_idx = rp.gen_comprs_sparse(vec, cfg.in_wids[i],
                                                 raw[i + 1], ls_comb, 0, 0)
-            self.str_maps.append(LayerMaps(m_idx=m_idx, r_idx=r_idx))
+            maps = LayerMaps(m_idx=m_idx, r_idx=r_idx)
+            if ls_comb == 0:
+                maps.m_idx_l, maps.r_idx_l = rp.gen_comprs_sparse(
+                    vec, cfg.in_wids[i], raw[i + 1], 0, 1, 0)
+            self.str_maps.append(maps)
             self.str_ls.append(ls_comb)
 
         # bootstrapper family (one per log_sparse in use)
@@ -94,10 +111,20 @@ class ResNetRunner:
     # ------------------------------------------------------------------
 
     def encrypt_image(self, image: np.ndarray):
-        """image [raw0, raw0, 3] → sparse-packed level-1 ciphertext."""
+        """image [raw0, raw0, C] → sparse-packed level-1 ciphertext.
+
+        Scatters only the image's own channels at stride norm (the
+        reference's inline loop, /root/reference/test.go:140-148)."""
         cfg, p = self.cfg, self.ctx.params
-        inp = convops.prep_input(image.ravel(), cfg.raw_in_wids[0],
-                                 cfg.in_wids[0], p.n, self.norm[0])
+        w0 = cfg.in_wids[0]
+        mb = self.max_batch[0]
+        raw0 = cfg.raw_in_wids[0]
+        nch = image.shape[-1]
+        inp = np.zeros(p.n)
+        for b in range(nch):
+            blk = np.zeros((w0, w0))
+            blk[:raw0, :raw0] = image[..., b]
+            inp[b * self.norm[0]::mb] = blk.ravel()
         pt = self.ctx.encoder.encode_coeffs(inp, p.scale, 1)
         return self.ctx.encrypt(pt)
 
@@ -124,15 +151,37 @@ class ResNetRunner:
         pow_ = cfg.init_pow
         for i in range(n1):
             real_ib = w.convs[li].shape[2]
+            real_ob = w.convs[li].shape[3]
             ct = layer(ct, li, 0, "Conv_sparse", pow_, self.keep_maps[0],
-                       self.log_sparse[0], real_ib, rb[0], self.norm[0])
+                       self.log_sparse[0], real_ib, real_ob, self.norm[0])
             pow_ = cfg.mid_pow
             li += 1
         tm["blc1"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
-        ct = layer(ct, li, 0, "StrConv_sparse", pow_, self.str_maps[0],
-                   self.str_ls[0], rb[0], rb[1], self.norm[1])
+        if cfg.wide == 3:
+            # full-pack transition: two StrConv_sparse_full halves on the
+            # even/odd out-channels, second shifted by X^{norm[1]/4}, added
+            # (/root/reference/test.go:797-818)
+            ker = w.convs[li]
+            c1 = eval_conv_bn_relu(
+                ctx, self.btps, ct, ker[:, :, :, 0::2].ravel(),
+                w.bn_a[li][0::2], w.bn_b[li][0::2], cfg.alpha, pow_,
+                cfg.in_wids[0], raw[1], ker.shape[0], rb[0], rb[1] // 2,
+                self.norm[0], 0, 1, 2, 0, "StrConv_sparse_full",
+                self.str_maps[0])
+            c2 = eval_conv_bn_relu(
+                ctx, self.btps, ct, ker[:, :, :, 1::2].ravel(),
+                w.bn_a[li][1::2], w.bn_b[li][1::2], cfg.alpha, pow_,
+                cfg.in_wids[0], raw[1], ker.shape[0], rb[0], rb[1] // 2,
+                self.norm[0], 0, 1, 2, 0, "StrConv_sparse_full",
+                self.str_maps[0])
+            # odd half shifted by X^norm[1] (reference hardcodes xi[2] with
+            # norm[1]=2, /root/reference/test.go:812)
+            ct = ctx.add(c1, ctx.mul_monomial(c2, self.norm[1]))
+        else:
+            ct = layer(ct, li, 0, "StrConv_sparse", pow_, self.str_maps[0],
+                       self.str_ls[0], rb[0], rb[1], self.norm[1])
         li += 1
         tm["blc1to2"] = time.perf_counter() - t0
         t0 = time.perf_counter()
