@@ -95,21 +95,45 @@ class LinearTransform:
                                           self.pt_scale, level)
             self.plan.setdefault(g * self.bs, {})[r] = pt
         self.babies = sorted({r for d in self.plan.values() for r in d})
+        # pre-stack plaintexts per giant for the fused inner sum
+        self.stacked = [
+            (g, sorted(terms), jnp.stack([terms[r].poly for r in sorted(terms)]))
+            for g, terms in sorted(self.plan.items())]
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
+        """BSGS apply: hoisted baby rotations, then per giant one fused
+        (Σ_r rot_r(ct)·pt_{g,r}) kernel, giant rotation, accumulate."""
         ctx = self.ctx
         assert ct.level == self.level, (ct.level, self.level)
         rots = ctx.rotate_hoisted(ct, self.babies)
+        inner_f = ctx._jitted(("lt_inner", self.level),
+                              lambda: _build_inner(ctx, self.level))
         out = None
-        for g, terms in sorted(self.plan.items()):
-            inner = None
-            for r, pt in terms.items():
-                t = ctx.mul_plain(rots[r], pt)
-                inner = t if inner is None else ctx.add(inner, t)
+        for g, rs, pts in self.stacked:
+            c0s = jnp.stack([rots[r].c0 for r in rs])
+            c1s = jnp.stack([rots[r].c1 for r in rs])
+            i0, i1 = inner_f(c0s, c1s, pts)
+            inner = Ciphertext(i0, i1, level=self.level,
+                               scale=ct.scale * self.pt_scale)
             if g != 0:
                 inner = ctx.rotate(inner, g)
             out = inner if out is None else ctx.add(out, inner)
         return ctx.rescale(out)
+
+
+def _build_inner(ctx: CkksContext, level: int):
+    q, qinv, _, _, _, _, _ = ctx.params.ntt.tabs(ctx.params.q_idx(level))
+
+    def f(c0s, c1s, pts):
+        t0 = mm.mont_mul(c0s, pts, q, qinv)
+        t1 = mm.mont_mul(c1s, pts, q, qinv)
+        a0, a1 = t0[0], t1[0]
+        for i in range(1, c0s.shape[0]):
+            a0 = mm.add_mod(a0, t0[i], q)
+            a1 = mm.add_mod(a1, t1[i], q)
+        return a0, a1
+
+    return f
 
 
 # ---------------------------------------------------------------------------
