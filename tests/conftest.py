@@ -12,6 +12,11 @@ sufficient and keeps the test-suite off the TPU tunnel.
 
 import os
 
+# The persistent-cache AOT loader logs a full CPU-feature dump per cache
+# hit (pseudo-feature mismatch, benign); at ERROR level it floods test
+# output — silence C++ logging in tests (Python exceptions still surface).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
