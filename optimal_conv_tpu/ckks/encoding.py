@@ -93,6 +93,10 @@ class Encoder:
             c = res[0].astype(np.int64)
             c = np.where(c > q // 2, c - q, c)
             return c.astype(np.float64) / scale
+        from .. import native
+        fast = native.crt_decode_centered(res, p.q_moduli[: level + 1], scale)
+        if fast is not None:
+            return fast
         cent = mm.residues_to_centered(res, p.q_moduli[: level + 1])
         return np.array([float(x) for x in cent]) / scale
 

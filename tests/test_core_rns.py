@@ -54,3 +54,17 @@ def test_reduce_u64():
     got = rns.reduce_u64(jnp.asarray(t), jnp.uint64(q),
                          jnp.uint64(mm.mont_qinv(q)), jnp.uint64((1 << 64) % q))
     np.testing.assert_array_equal(np.asarray(got), t % np.uint64(q))
+
+
+def test_native_crt_decoder_matches_python():
+    """C++ Garner CRT decoder == Python big-int path (ckks decode hot path)."""
+    from optimal_conv_tpu import native
+    mods = mm.gen_ntt_primes(LOG_N, [55, 54, 45, 40, 30])
+    ints = RNG.integers(-2**60, 2**60, 128).astype(object)
+    res = mm.centered_to_residues(np.array(ints, dtype=object), mods)
+    fast = native.crt_decode_centered(res, mods, 2.0**25)
+    if fast is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+    want = np.array([float(x) for x in mm.residues_to_centered(res, mods)])
+    np.testing.assert_allclose(fast, want / 2.0**25, rtol=1e-12)
