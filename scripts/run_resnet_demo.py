@@ -41,10 +41,16 @@ def main():
     from optimal_conv_tpu.models.resnet import ResNetConfig, ResNetRunner
 
     logn = args.logn
-    w0 = int(np.sqrt((1 << logn) / 64))          # so max_batch[0] = 64
+    if logn >= 14:
+        w0 = int(np.sqrt((1 << logn) / 64))      # so max_batch[0] = 64
+        rb = (16, 32, 64)
+    else:
+        # keep spatial widths ≥ 4: shrink channels instead (same norms)
+        w0 = 16
+        rb = tuple(b * (1 << logn) // (1 << 14) for b in (16, 32, 64))
     cfg = ResNetConfig(ker_wid=args.ker, depth=args.depth,
                        in_wids=(w0, w0 // 2, w0 // 4),
-                       real_batch=(16, 32, 64), init_pow=5.0, mid_pow=5.0,
+                       real_batch=rb, init_pow=5.0, mid_pow=5.0,
                        final_pow=5.0)
     boot_kwargs = {}
     if logn >= 15:
