@@ -146,7 +146,14 @@ class SplitBootstrapper:
     def __init__(self, ctx: CkksContext, log_sparse: int = 0,
                  k_range: float = 25.0,
                  sin_deg: int = 63, double_angle: int = 2,
-                 msg_ratio_bits: int = 8):
+                 msg_ratio_bits: int = 8, stoc_level: int | None = None):
+        """stoc_level: top level of the StoC transforms.  Default (None)
+        uses the chain layout's dedicated low StoC levels — the split
+        pipeline order (…ReLU → repack → StoC → conv).  The baseline
+        ("BL") path instead bootstraps FULLY and applies ReLU after, so
+        it sets stoc_level just below EvalMod, leaving the ReLU budget
+        under the refreshed ciphertext (reference Bootstrapp,
+        /root/reference/test_BL.go:133)."""
         self.ctx = ctx
         self.ls = log_sparse
         p = ctx.params
@@ -228,7 +235,7 @@ class SplitBootstrapper:
                          reps // 2)
             dec_st = [{0: d0, n_sub: d1}] + dec_st
         s_groups = dft.group_stages(dec_st, n_stoc_levels, p.slots)
-        st_lvl = lay["stoc"][1] - 1
+        st_lvl = (lay["stoc"][1] - 1) if stoc_level is None else stoc_level
         self.stoc_lt: list[LinearTransform] = []
         for gdiags in s_groups:
             self.stoc_lt.append(LinearTransform(ctx, gdiags, st_lvl))

@@ -108,6 +108,44 @@ def eval_conv_bn_bl(ctx: CkksContext, ct_in: Ciphertext, ker_in: np.ndarray,
     return ctx.add_plain(ct_out, pt_b)
 
 
+def eval_conv_bl_boot_relu(ctx: CkksContext, btp, ct1: Ciphertext,
+                           ct2: Ciphertext, alpha: float = 0.0,
+                           pow_: float = 4.0):
+    """Imaginary-part packing around ONE bootstrap (R26,
+    /root/reference/test_BL.go:113-168): fold two real slot-cts as
+    re+i·im, boost 2^(pow+2) (two halving conj-folds), full bootstrap
+    (CtoS→EvalMod→high-level StoC via btp with stoc_level below
+    EvalMod), unfold with a conjugation, then minimax ReLU on both.
+
+    btp must be a SplitBootstrapper built with stoc_level just under the
+    EvalMod region so the refreshed cts retain the ReLU depth.
+    """
+    from .relu import eval_relu
+
+    a = ctx.add(ct1, ctx.conjugate(ct1))           # 2·Re(z1)
+    b = ctx.mul_by_i(ctx.add(ct2, ctx.conjugate(ct2)))
+    folded = ctx.add(a, b)
+    # align to the bootstrap input contract: payload at Δ0·2^-(pow+2),
+    # then declare Δ0 (values ÷2^(pow+2): two un-halved conj folds + the
+    # ReLU range squeeze)
+    folded = ctx.set_scale(folded, btp.delta0 / 2.0 ** (pow_ + 2))
+    folded = folded.with_scale(btp.delta0)
+    if folded.level > 0:
+        folded = ctx.drop_level(folded, folded.level)
+    up, low = btp.ctos(folded)
+    boot = btp.stoc(up, low)
+    cj = ctx.conjugate(boot)
+    re = ctx.add(boot, cj)                          # 2·(2·z1) scale-absorbed
+    im = ctx.div_by_i(ctx.sub(boot, cj))
+    re = re.with_scale(re.scale * 4.0)              # the two folds' 2× each
+    im = im.with_scale(im.scale * 4.0)
+    out = []
+    for ct in (re, im):
+        r = eval_relu(ctx, ct, alpha)
+        out.append(ctx.mul_scalar_int(r, 1 << int(pow_)))
+    return out[0], out[1]
+
+
 def eval_rmfc_bl(ctx: CkksContext, ct_in: Ciphertext, fc_w: np.ndarray,
                  fc_b: np.ndarray, in_batch: int, spatial: int) -> Ciphertext:
     """Reduce-mean + FC via rotate-sum + diagonal method (evalRMFC_BL)."""

@@ -62,3 +62,30 @@ def test_rmfc_bl(ctx):
     got = z[np.arange(out_num) * blk]
     want = feat.mean(axis=1) @ fc_w + fc_b
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_conv_bl_boot_relu():
+    """R26: imaginary-part packing — two slot cts share ONE bootstrap,
+    then unfold + minimax ReLU (reference test_BL.go:113-168)."""
+    from optimal_conv_tpu.ckks.params import mini_boot_params
+    from optimal_conv_tpu.ckks.bootstrap import SplitBootstrapper
+    from optimal_conv_tpu.ops.relu import relu_np
+
+    P = mini_boot_params(log_n=10, n_relu=14)
+    bctx = CkksContext(P, seed=31)
+    # StoC right below EvalMod so the refreshed cts keep the ReLU depth
+    stoc_top = P.boot_layout["relu"][1] - 1
+    btp = SplitBootstrapper(bctx, log_sparse=0, k_range=12.0, sin_deg=31,
+                            double_angle=3, stoc_level=stoc_top)
+    rng = np.random.default_rng(61)
+    pow_ = 4.0
+    z1 = rng.uniform(-8, 8, P.slots)
+    z2 = rng.uniform(-8, 8, P.slots)
+    c1 = bctx.encrypt(bctx.encoder.encode_slots(z1, P.scale, P.max_level))
+    c2 = bctx.encrypt(bctx.encoder.encode_slots(z2, P.scale, P.max_level))
+    r1, r2 = bl.eval_conv_bl_boot_relu(bctx, btp, c1, c2, 0.0, pow_)
+    got1 = bctx.decrypt_decode_slots(r1).real
+    got2 = bctx.decrypt_decode_slots(r2).real
+    tol = 0.4  # mini chain precision at range 2^4
+    assert np.max(np.abs(got1 - relu_np(z1))) < tol, np.max(np.abs(got1 - relu_np(z1)))
+    assert np.max(np.abs(got2 - relu_np(z2))) < tol

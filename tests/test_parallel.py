@@ -54,3 +54,42 @@ def test_sharded_matches_single_device():
     np.testing.assert_array_equal(np.asarray(o0[0]), np.asarray(ref.c0))
     np.testing.assert_array_equal(np.asarray(o0[-1]), np.asarray(ref.c0))
     np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(ref.c1))
+
+
+def test_coeff_axis_sharding_matches_single_device():
+    """sp (coefficient-axis) sharding: NTT butterflies + keyswitch across
+    a (dp,tp,sp)=(2,2,2) mesh — GSPMD inserts the stage collectives; the
+    result is bit-identical to the single-device path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    params = CkksParams(log_n=8, logq=(45,) + (35,) * 7, logp=(45,) * 4,
+                        log_scale=25, h=32)
+    ctx = CkksContext(params, seed=0)
+    lvl = params.max_level
+    rng = np.random.default_rng(0)
+    v = rng.uniform(-1, 1, params.n)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(v, params.scale, lvl))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2), ("dp", "tp", "sp"))
+    shd = NamedSharding(mesh, P("tp", "sp"))
+    idx = params.q_idx(lvl)
+    f = jax.jit(lambda a: params.ntt.intt(params.ntt.ntt(a, idx), idx),
+                in_shardings=shd, out_shardings=shd)
+    out = f(jax.device_put(ct.c0, shd))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ct.c0))
+
+    g = nttmod.rot_to_galois(1, params.log_n)
+    swk = ctx.galois_key(g, lvl)
+    perm = jnp.asarray(nttmod.galois_perm_ntt(params.log_n, g))
+    dec = ctx._build_decompose(lvl)
+    core = ctx._ks_core_builder(lvl)
+    ksh = NamedSharding(mesh, P(None, "tp", "sp"))
+
+    def step(c1, pm, d0, d1):
+        return core(dec(nttmod.apply_galois_ntt(c1, pm)), d0, d1)
+
+    fs = jax.jit(step, in_shardings=(shd, NamedSharding(mesh, P()), ksh, ksh))
+    o0, _ = fs(jax.device_put(ct.c1, shd), perm,
+               jax.device_put(swk.d0, ksh), jax.device_put(swk.d1, ksh))
+    ref = ctx.keyswitch(nttmod.apply_galois_ntt(ct.c1, perm), lvl, swk)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(ref[0]))
