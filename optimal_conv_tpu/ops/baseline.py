@@ -135,10 +135,10 @@ def eval_conv_bl_boot_relu(ctx: CkksContext, btp, ct1: Ciphertext,
     up, low = btp.ctos(folded)
     boot = btp.stoc(up, low)
     cj = ctx.conjugate(boot)
-    re = ctx.add(boot, cj)                          # 2·(2·z1) scale-absorbed
+    # boot values v = (z1 + i·z2)/2^(pow+1); v+conj(v) = z1/2^pow,
+    # (v−conj(v))/i = z2/2^pow — exactly the ReLU input range
+    re = ctx.add(boot, cj)
     im = ctx.div_by_i(ctx.sub(boot, cj))
-    re = re.with_scale(re.scale * 4.0)              # the two folds' 2× each
-    im = im.with_scale(im.scale * 4.0)
     out = []
     for ct in (re, im):
         r = eval_relu(ctx, ct, alpha)
