@@ -106,3 +106,27 @@ def test_rot_to_galois():
     assert nttmod.rot_to_galois(0, LOG_N) == 1
     assert nttmod.rot_to_galois(1, LOG_N) == 5
     assert nttmod.rot_to_galois(2, LOG_N) == 25
+
+
+def test_pallas_u32pair_montmul():
+    """Round-2 kernel representation: u32-pair Montgomery multiply (pure
+    and Pallas) == the u64 path."""
+    from optimal_conv_tpu.core import pallas_mod as pm
+
+    q = MODULI[0]
+    qinv = mm.mont_qinv(q)
+    a = RNG.integers(0, q, (4, 256), dtype=np.uint64)
+    b = RNG.integers(0, q, (4, 256), dtype=np.uint64)
+    alo, ahi = pm.split64(a)
+    blo, bhi = pm.split64(b)
+    want = np.asarray(mm.mont_mul(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.uint64(q), jnp.uint64(qinv)))
+    lo, hi = pm.mont_mul_u32pair(
+        jnp.asarray(alo), jnp.asarray(ahi), jnp.asarray(blo), jnp.asarray(bhi),
+        jnp.uint32(q & 0xFFFFFFFF), jnp.uint32(q >> 32),
+        jnp.uint32(qinv & 0xFFFFFFFF), jnp.uint32(qinv >> 32))
+    np.testing.assert_array_equal(pm.join64(np.asarray(lo), np.asarray(hi)), want)
+    plo, phi = pm.mont_mul_pallas(jnp.asarray(alo), jnp.asarray(ahi),
+                                  jnp.asarray(blo), jnp.asarray(bhi), q, qinv)
+    np.testing.assert_array_equal(pm.join64(np.asarray(plo), np.asarray(phi)),
+                                  want)
