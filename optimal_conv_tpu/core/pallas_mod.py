@@ -9,6 +9,10 @@ conversion utilities, validated against core.modmath in tests.
 If the fused kernel beats the XLA-emulated u64 chain (measured round 1:
 u64 mul+add ≈ 18 Gop/s, ~1.6× below native u32), the NTT stage loop and
 key-switch inner product move onto this representation.
+
+Status: arithmetic exact (tested vs modmath on CPU + interpret mode);
+the Mosaic TPU lowering currently fails legalization ("func.return") —
+isolate in round 2 (suspects: bool-carry casts, multi-result return).
 """
 
 from __future__ import annotations
@@ -111,15 +115,19 @@ def mont_mul_u32pair(alo, ahi, blo, bhi, qlo, qhi, qinvlo, qinvhi):
     return jnp.where(big, slo, rlo), jnp.where(big, shi, rhi)
 
 
-def _mont_kernel(alo_ref, ahi_ref, blo_ref, bhi_ref, q_ref, out_lo, out_hi):
-    qlo = q_ref[0, 0]
-    qhi = q_ref[0, 1]
-    qinvlo = q_ref[0, 2]
-    qinvhi = q_ref[0, 3]
-    lo, hi = mont_mul_u32pair(alo_ref[...], ahi_ref[...], blo_ref[...],
-                              bhi_ref[...], qlo, qhi, qinvlo, qinvhi)
-    out_lo[...] = lo
-    out_hi[...] = hi
+def _make_mont_kernel(q: int, qinv: int):
+    qlo, qhi = q & 0xFFFFFFFF, q >> 32
+    qilo, qihi = qinv & 0xFFFFFFFF, qinv >> 32
+
+    def kernel(alo_ref, ahi_ref, blo_ref, bhi_ref, out_lo, out_hi):
+        lo, hi = mont_mul_u32pair(
+            alo_ref[...], ahi_ref[...], blo_ref[...], bhi_ref[...],
+            jnp.uint32(qlo), jnp.uint32(qhi), jnp.uint32(qilo),
+            jnp.uint32(qihi))
+        out_lo[...] = lo
+        out_hi[...] = hi
+
+    return kernel
 
 
 def mont_mul_pallas(alo, ahi, blo, bhi, q: int, qinv: int,
@@ -127,11 +135,20 @@ def mont_mul_pallas(alo, ahi, blo, bhi, q: int, qinv: int,
     """Fused elementwise Montgomery multiply as a single Pallas kernel."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    consts = jnp.array([[q & 0xFFFFFFFF, q >> 32,
-                         qinv & 0xFFFFFFFF, qinv >> 32]], dtype=jnp.uint32)
-    return pl.pallas_call(
-        _mont_kernel,
-        out_shape=(jax.ShapeDtypeStruct(alo.shape, jnp.uint32),
-                   jax.ShapeDtypeStruct(alo.shape, jnp.uint32)),
+    shape = alo.shape
+    flat = alo.size
+    lanes = 1024
+    rows = flat // lanes
+    tile_rows = 8 if rows % 8 == 0 else rows
+    view = lambda x: x.reshape(rows, lanes)
+    spec = pl.BlockSpec((tile_rows, lanes), lambda i: (i, 0))
+    out2 = pl.pallas_call(
+        _make_mont_kernel(q, qinv),
+        grid=(rows // tile_rows,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((rows, lanes), jnp.uint32),
+                   jax.ShapeDtypeStruct((rows, lanes), jnp.uint32)),
         interpret=interpret,
-    )(alo, ahi, blo, bhi, consts)
+    )(view(alo), view(ahi), view(blo), view(bhi))
+    return out2[0].reshape(shape), out2[1].reshape(shape)
