@@ -141,12 +141,16 @@ class ResNetRunner:
 
         def layer(ct, li, in_idx, kind, pow_, maps, ls, real_ib, real_ob,
                   norm, n_iter=2):
-            return eval_conv_bn_relu(
+            t = time.perf_counter()
+            out = eval_conv_bn_relu(
                 ctx, self.btps, ct, w.convs[li].ravel(), w.bn_a[li],
                 w.bn_b[li], cfg.alpha, pow_, cfg.in_wids[in_idx],
                 raw[in_idx if kind != "StrConv_sparse" else in_idx + 1],
                 w.convs[li].shape[0], real_ib, real_ob, norm, 0, 1, n_iter,
                 ls, kind, maps)
+            print(f"  layer {li} ({kind}, ls={ls}) done in "
+                  f"{time.perf_counter() - t:.1f}s", flush=True)
+            return out
 
         pow_ = cfg.init_pow
         for i in range(n1):
