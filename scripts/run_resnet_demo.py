@@ -68,6 +68,10 @@ def main():
           flush=True)
 
     w = random_weights(args.ker, args.depth, cfg.real_batch, seed=1)
+    # widen the FC margins so argmax comparison is meaningful against the
+    # ~0.03 encrypted-evaluation noise of the mini chain
+    w.fc_w = w.fc_w * 6.0
+    w.fc_b = w.fc_b * 2.0
     rng = np.random.default_rng(args.seed)
     raw0 = cfg.raw_in_wids[0]
     for it in range(args.n):
