@@ -10,9 +10,15 @@ If the fused kernel beats the XLA-emulated u64 chain (measured round 1:
 u64 mul+add ≈ 18 Gop/s, ~1.6× below native u32), the NTT stage loop and
 key-switch inner product move onto this representation.
 
-Status: arithmetic exact (tested vs modmath on CPU + interpret mode);
-the Mosaic TPU lowering currently fails legalization ("func.return") —
-isolate in round 2 (suspects: bool-carry casts, multi-result return).
+Status: arithmetic exact (tested vs modmath on CPU + interpret mode)
+and comparison-free (carry/borrow/select via Hacker's-Delight bit
+identities — Mosaic-on-axon fails to legalize vector compares under a
+grid). Remaining backend limit (round-1 bisection): ANY pallas_call
+with grid>1 and more than one input (or sub-block ref slicing) 500s in
+the remote compile helper; grid-free whole-block kernels compile and
+run. The production kernel therefore runs grid-free on VMEM-sized
+blocks; the NTT/key-switch Pallas work in round 2 should use in-kernel
+fori_loop + manual DMA instead of the grid.
 """
 
 from __future__ import annotations
@@ -53,16 +59,33 @@ def _mul32_wide(a, b):
     return hi, lo
 
 
+# Comparison ops fail Mosaic legalization under a grid on this backend,
+# so every carry/borrow/compare is computed with bitwise identities
+# (Hacker's Delight §2-13): top bit of the carry expression is the flag.
+
+def _carry(a, b, s):
+    """carry-out of a+b (s = a+b), as 0/1 uint32."""
+    return ((a & b) | ((a | b) & ~s)) >> 31
+
+
+def _borrow(a, b, d):
+    """borrow-out of a-b (d = a-b), as 0/1 uint32."""
+    return ((~a & b) | (~(a ^ b) & d)) >> 31
+
+
+def _nonzero(x):
+    """(x != 0) as 0/1 uint32."""
+    return (x | (jnp.uint32(0) - x)) >> 31
+
+
 def _add64(alo, ahi, blo, bhi):
     lo = alo + blo
-    carry = (lo < alo).astype(jnp.uint32)
-    return lo, ahi + bhi + carry
+    return lo, ahi + bhi + _carry(alo, blo, lo)
 
 
 def _sub64(alo, ahi, blo, bhi):
     lo = alo - blo
-    borrow = (alo < blo).astype(jnp.uint32)
-    return lo, ahi - bhi - borrow
+    return lo, ahi - bhi - _borrow(alo, blo, lo)
 
 
 def _mul64_lo_hi(alo, ahi, blo, bhi):
@@ -78,23 +101,24 @@ def _mul64_lo_hi(alo, ahi, blo, bhi):
     h3, l3 = _mul32_wide(ahi, bhi)
     # column 1 (bits 32..63): h0 + l1 + l2
     s1 = h0 + l1
-    c1 = (s1 < h0).astype(jnp.uint32)
+    c1 = _carry(h0, l1, s1)
     s1b = s1 + l2
-    c1 = c1 + (s1b < s1).astype(jnp.uint32)
+    c1 = c1 + _carry(s1, l2, s1b)
     # column 2 (bits 64..95): h1 + h2 + l3 + c1
     s2 = h1 + h2
-    c2 = (s2 < h1).astype(jnp.uint32)
+    c2 = _carry(h1, h2, s2)
     s2b = s2 + l3
-    c2 = c2 + (s2b < s2).astype(jnp.uint32)
+    c2 = c2 + _carry(s2, l3, s2b)
     s2c = s2b + c1
-    c2 = c2 + (s2c < s2b).astype(jnp.uint32)
+    c2 = c2 + _carry(s2b, c1, s2c)
     # column 3 (bits 96..127): h3 + c2
     s3 = h3 + c2
     del one
     return (l0, s1b), (s2c, s3)
 
 
-def _geq64(alo, ahi, blo, bhi):
+def _geq64_unused(alo, ahi, blo, bhi):
+    # kept for reference; superseded by the borrow-select in mont_mul
     return (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
 
 
@@ -105,14 +129,18 @@ def mont_mul_u32pair(alo, ahi, blo, bhi, qlo, qhi, qinvlo, qinvhi):
     (mlo, mhi), _ = _mul64_lo_hi(tlo_lo, tlo_hi, qinvlo, qinvhi)
     # mq_hi = hi64(m*q); carry = (lo64(t) != 0)
     _, (mqh_lo, mqh_hi) = _mul64_lo_hi(mlo, mhi, qlo, qhi)
-    carry = ((tlo_lo | tlo_hi) != 0).astype(jnp.uint32)
+    carry = _nonzero(tlo_lo | tlo_hi)
     rlo, rhi = _add64(thi_lo, thi_hi, mqh_lo, mqh_hi)
     rlo2 = rlo + carry
-    rhi = rhi + (rlo2 < rlo).astype(jnp.uint32)
+    rhi = rhi + _carry(rlo, carry, rlo2)
     rlo = rlo2
-    big = _geq64(rlo, rhi, qlo, qhi)
-    slo, shi = _sub64(rlo, rhi, qlo, qhi)
-    return jnp.where(big, slo, rlo), jnp.where(big, shi, rhi)
+    # conditional subtract via the borrow of r − q: r ≥ q iff borrow == 0
+    dlo = rlo - qlo
+    bl = _borrow(rlo, qlo, dlo)
+    dhi = rhi - qhi - bl
+    bh = _borrow(rhi, qhi + bl, dhi)   # qhi + bl cannot wrap (qhi < 2^31)
+    mask = jnp.uint32(0) - bh           # all-ones when r < q (keep r)
+    return (dlo & ~mask) | (rlo & mask), (dhi & ~mask) | (rhi & mask)
 
 
 def _make_mont_kernel(q: int, qinv: int):
@@ -139,14 +167,13 @@ def mont_mul_pallas(alo, ahi, blo, bhi, q: int, qinv: int,
     flat = alo.size
     lanes = 1024
     rows = flat // lanes
-    tile_rows = 8 if rows % 8 == 0 else rows
+    # grid-free: whole arrays as single VMEM blocks (see module docstring
+    # for the backend grid limitation); ~24 B live per element — keep
+    # inputs ≤ ~0.5 M elements per call
+    assert flat <= (1 << 17), "block too large for grid-free VMEM kernel"
     view = lambda x: x.reshape(rows, lanes)
-    spec = pl.BlockSpec((tile_rows, lanes), lambda i: (i, 0))
     out2 = pl.pallas_call(
         _make_mont_kernel(q, qinv),
-        grid=(rows // tile_rows,),
-        in_specs=[spec, spec, spec, spec],
-        out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((rows, lanes), jnp.uint32),
                    jax.ShapeDtypeStruct((rows, lanes), jnp.uint32)),
         interpret=interpret,
