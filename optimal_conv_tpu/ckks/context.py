@@ -195,17 +195,19 @@ class CkksContext:
     # ------------------------------------------------------------------
 
     def _build_decompose(self, level: int):
+        """[l+1, N] NTT → [beta, l+1+P, N] coeff-domain decomposed digits.
+
+        Uses the batched DigitExtender: ONE vectorized extension chain
+        for all beta digits (graph size independent of beta — the
+        per-digit unroll was the dominant XLA compile cost per level)."""
         p = self.params
         idx = p.q_idx(level)
-        qp = p.qp_idx(level)
-        digits = p.digits(level)
-        exts = [p.extender(d, qp) for d in digits]
-        rows = [np.asarray(d) for d in digits]
+        ext = p.digit_extender(level)
         ntt = p.ntt
 
         def f(c1):
             c1c = ntt.intt(c1, idx)
-            return jnp.stack([e.extend(c1c[r]) for e, r in zip(exts, rows)])
+            return ext.extend_digits(c1c)
 
         return f
 

@@ -126,6 +126,13 @@ class CkksParams:
         return rns.BasisExtender([mods[i] for i in src], [mods[i] for i in dst])
 
     @functools.lru_cache(maxsize=None)
+    def digit_extender(self, level: int) -> "rns.DigitExtender":
+        """Cached batched all-digits extender for the hybrid key-switch
+        decompose at `level` (graph size independent of beta)."""
+        return rns.DigitExtender(self.digits(level), self.qp_idx(level),
+                                 self.moduli)
+
+    @functools.lru_cache(maxsize=None)
     def p_inv_mont(self, level: int):
         """P^{-1} mod q_i (Montgomery form) for q-limbs at `level`: [l+1, 1]."""
         import jax.numpy as jnp

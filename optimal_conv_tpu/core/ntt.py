@@ -110,6 +110,30 @@ class NttContext:
         (self.q, self.qinv, self.r2, self.r1, self.psi_br_mont,
          self.ipsi_br_mont, self.n_inv_mont) = self.tabs(all_idx)
 
+        # transform backend.  The Pallas fused kernels (core/pallas_ntt.py)
+        # are bit-identical to the XLA path but measured SLOWER on this
+        # backend (1.76 ms/limb at logN=16 vs ~0.06 ms XLA — Mosaic
+        # relayout overhead on the per-stage twiddle broadcasts) and the
+        # Mosaic payload is recompiled inside EVERY enclosing XLA
+        # executable (~350 s at logN=16), so they stay opt-in:
+        # OPTCONV_NTT_BACKEND=pallas (runs the interpreter off-TPU).
+        import os
+        self.backend = os.environ.get("OPTCONV_NTT_BACKEND", "xla")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"OPTCONV_NTT_BACKEND={self.backend!r}: use 'xla' or 'pallas'")
+        self._pallas_tabs = None
+
+    def _pallas_active(self) -> bool:
+        return self.backend == "pallas" and self.log_n >= 8
+
+    def _ptabs(self):
+        if self._pallas_tabs is None:
+            from . import pallas_ntt
+            self._pallas_tabs = pallas_ntt.PallasNttTables(
+                self.moduli, self.log_n, self.psi)
+        return self._pallas_tabs
+
     def tabs(self, idx: tuple[int, ...]):
         """(q, qinv, r2, r1, psi, ipsi, ninv) jnp tables for a static limb subset."""
         got = self._cache.get(idx)
@@ -134,12 +158,22 @@ class NttContext:
         (static); defaults to the first l limbs.
         """
         idx = tuple(range(a.shape[-2])) if idx is None else idx
+        if self._pallas_active():
+            import jax as _jax
+            from . import pallas_ntt
+            interp = _jax.devices()[0].platform != "tpu"
+            return pallas_ntt.transform(a, idx, self._ptabs(), False, interp)
         q, qinv, _, _, psi, _, _ = self.tabs(idx)
         return _ntt_fwd(a, psi, q, qinv, self.log_n)
 
     def intt(self, a: jnp.ndarray, idx: tuple[int, ...] | None = None) -> jnp.ndarray:
         """Inverse negacyclic NTT.  a: [..., l, N] bit-rev → natural order."""
         idx = tuple(range(a.shape[-2])) if idx is None else idx
+        if self._pallas_active():
+            import jax as _jax
+            from . import pallas_ntt
+            interp = _jax.devices()[0].platform != "tpu"
+            return pallas_ntt.transform(a, idx, self._ptabs(), True, interp)
         q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
         return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)
 

@@ -61,6 +61,13 @@ class BasisExtender:
                 qmod[i, v] = v * big_q % r
         self.qhat_mont = jnp.asarray(qhat)          # [R, K]
         self.qmod_table = jnp.asarray(qmod)         # [R, K+1]
+        # (2^j·Q) mod r_i for the bit-decomposed v·Q (see extend)
+        self._vbits = max(k.bit_length(), 1)
+        qmod_pow = np.empty((len(self.dst), self._vbits), dtype=np.uint64)
+        for i, r in enumerate(self.dst):
+            for j in range(self._vbits):
+                qmod_pow[i, j] = (1 << j) * big_q % r
+        self.qmod_pow = jnp.asarray(qmod_pow)
         self.inv_src_f32 = jnp.asarray(
             1.0 / np.array(self.src, dtype=np.float64), dtype=jnp.float32)[:, None]
 
@@ -78,9 +85,17 @@ class BasisExtender:
         acc = terms[..., 0, :]
         for j in range(1, len(self.src)):
             acc = mm.add_mod(acc, terms[..., j, :], self.dq)
-        # gather v·Q mod r_i: qmod_table is [R, K+1]; v is [..., N]
-        vq = jnp.take(self.qmod_table, v, axis=1)     # [R, ..., N]
-        vq = jnp.moveaxis(vq, 0, -2)                  # [..., R, N]
+        # v·Q mod r_i, branch/gather-free: v ∈ [0, K] is tiny, so
+        # v·Q = Σ_j bit_j(v)·(2^j·Q); each term is ANDed with an
+        # all-ones mask from the bit and accumulated with add_mod.
+        # (A take-based gather here dominated the key-switch decompose
+        # at 0.5 s per call at logN=16 — TPU gathers are pathological.)
+        vu = v.astype(jnp.uint64)[..., None, :]         # [..., 1, N]
+        vq = None
+        for j in range(self._vbits):
+            mask = jnp.uint64(0) - ((vu >> jnp.uint64(j)) & jnp.uint64(1))
+            t = self.qmod_pow[:, j:j + 1] & mask        # [..., R, N]
+            vq = t if vq is None else mm.add_mod(vq, t, self.dq)
         return mm.sub_mod(acc, vq, self.dq)
 
 
@@ -88,3 +103,100 @@ def reduce_u64(t: jnp.ndarray, q: jnp.ndarray, qinv: jnp.ndarray,
                r1: jnp.ndarray) -> jnp.ndarray:
     """Arbitrary uint64 t (< 2^62) → t mod q, via t·(2^64 mod q)·2^-64."""
     return mm.mont_mul(t, r1, q, qinv)
+
+
+class DigitExtender:
+    """Batched basis extension of ALL key-switch digits in one op chain.
+
+    The hybrid key-switch decompose previously built one BasisExtender
+    per digit and unrolled beta extension graphs (~14 K HLOs at
+    logN=16, beta≈8 — the dominant XLA compile cost per level, ~4 min
+    each on the remote TPU helper).  This class stacks the per-digit
+    tables into [beta, ...] arrays (last digit zero-padded to alpha)
+    so one vectorized chain extends every digit at once: graph size is
+    independent of beta, results bit-identical (padding contributes
+    exactly 0: padded qhat/qhat_inv/inv_src entries are 0).
+
+    Replaces the per-digit use of ring/ring_basis_extension.go in the
+    fork's keyswitch (SURVEY.md C4).
+    """
+
+    def __init__(self, digits: list[tuple[int, ...]], dst: tuple[int, ...],
+                 moduli: list[int]):
+        beta = len(digits)
+        alpha = max(len(d) for d in digits)
+        R = len(dst)
+        dst_mods = [int(moduli[i]) for i in dst]
+
+        gather = np.zeros((beta, alpha), dtype=np.int32)
+        sq = np.ones((beta, alpha, 1), dtype=np.uint64)
+        sqinv = np.zeros((beta, alpha, 1), dtype=np.uint64)
+        qhat_inv = np.zeros((beta, alpha, 1), dtype=np.uint64)
+        inv_src = np.zeros((beta, alpha, 1), dtype=np.float32)
+        qhat = np.zeros((beta, R, alpha), dtype=np.uint64)
+        self._vbits = max(alpha.bit_length(), 1)
+        qmod_pow = np.zeros((beta, R, self._vbits), dtype=np.uint64)
+        r64 = 1 << 64
+
+        for b, dig in enumerate(digits):
+            src = [int(moduli[i]) for i in dig]
+            k = len(src)
+            big_q = 1
+            for q in src:
+                big_q *= q
+            gather[b, :k] = dig
+            for j, q in enumerate(src):
+                sq[b, j, 0] = q
+                sqinv[b, j, 0] = mm.mont_qinv(q)
+                qhat_inv[b, j, 0] = pow((big_q // q) % q, -1, q) * r64 % q
+                inv_src[b, j, 0] = np.float32(1.0 / q)
+            for i, r in enumerate(dst_mods):
+                for j, q in enumerate(src):
+                    qhat[b, i, j] = (big_q // q) % r * r64 % r
+                for j in range(self._vbits):
+                    qmod_pow[b, i, j] = (1 << j) * big_q % r
+        # dummy source rows (j ≥ len(digit)): qhat_inv=0 forces y=0 and
+        # qhat=0 kills the terms; q=1 (with its valid qinv) keeps the
+        # unused Montgomery reductions well-defined.
+        for b, dig in enumerate(digits):
+            for j in range(len(dig), alpha):
+                sqinv[b, j, 0] = mm.mont_qinv(1)
+
+        self.beta, self.alpha, self.R = beta, alpha, R
+        import jax
+        with jax.ensure_compile_time_eval():
+            self.gather = jnp.asarray(gather)
+            self.sq = jnp.asarray(sq)
+            self.sqinv = jnp.asarray(sqinv)
+            self.qhat_inv_mont = jnp.asarray(qhat_inv)
+            self.inv_src_f32 = jnp.asarray(inv_src)
+            self.qhat_mont = jnp.asarray(qhat)          # [beta, R, alpha]
+            self.qmod_pow = jnp.asarray(qmod_pow)       # [beta, R, vbits]
+            dq = np.array(dst_mods, dtype=np.uint64)[None, :, None]
+            self.dq = jnp.asarray(dq)
+            self.dqinv = jnp.asarray(np.array(
+                [mm.mont_qinv(q) for q in dst_mods],
+                dtype=np.uint64)[None, :, None])
+
+    def extend_digits(self, c: jnp.ndarray) -> jnp.ndarray:
+        """c: [L, N] coeff-domain residues (canonical) →
+        [beta, R, N] extended digits (mod dst)."""
+        x = c[self.gather]                               # [beta, alpha, N]
+        y = mm.mont_mul(x, self.qhat_inv_mont, self.sq, self.sqinv)
+        v = jnp.floor(jnp.sum(y.astype(jnp.float32) * self.inv_src_f32,
+                              axis=-2)).astype(jnp.int32)        # [beta, N]
+        v = jnp.clip(v, 0, self.alpha)
+        acc = None
+        for j in range(self.alpha):
+            t = mm.mont_mul(y[:, None, j, :], self.qhat_mont[:, :, j:j + 1],
+                            self.dq, self.dqinv)                 # [beta, R, N]
+            acc = t if acc is None else mm.add_mod(acc, t, self.dq)
+        # v·Q mod r: bit-decomposed mask accumulation — no gather, no
+        # branches (same rationale as BasisExtender.extend).
+        vu = v.astype(jnp.uint64)[:, None, :]            # [beta, 1, N]
+        vq = None
+        for j in range(self._vbits):
+            mask = jnp.uint64(0) - ((vu >> jnp.uint64(j)) & jnp.uint64(1))
+            t = self.qmod_pow[:, :, j:j + 1] & mask      # [beta, R, N]
+            vq = t if vq is None else mm.add_mod(vq, t, self.dq)
+        return mm.sub_mod(acc, vq, self.dq)
