@@ -49,6 +49,10 @@ def main():
 
     inp = convops.prep_input(img.ravel(), raw_wid, in_wid, params.n, 1)
     ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
+    # distinct input cts per timed iteration: the axon tunnel memoizes
+    # (executable, inputs) pairs, so repeating one ct measures cache hits
+    cts = [ct] + [ctx.encrypt(ctx.encoder.encode_coeffs(
+        inp * (1.0 - 1e-6 * (i + 1)), params.scale, 1)) for i in range(5)]
 
     # kernel prep outside the timed span, matching the reference's
     # "Conv (with BN) Done in" = conv_then_pack + bias add
@@ -61,17 +65,19 @@ def main():
         b_coeffs[i::max_batch] = b
     pl_b = ctx.encoder.encode_coeffs(b_coeffs, out_scale, 0, mont=False)
 
-    def run():
-        out = convops.conv_then_pack(ctx, ct, pl, max_batch, 1, out_scale,
+    from optimal_conv_tpu.utils.timing import sync
+
+    def run(ct_in):
+        out = convops.conv_then_pack(ctx, ct_in, pl, max_batch, 1, out_scale,
                                      bias_pt=pl_b)
-        jax.block_until_ready((out.c0, out.c1))
+        sync(out.c0, out.c1)   # block_until_ready alone is unreliable here
         return out
 
-    run()                      # warmup: compiles + key generation
+    out = run(cts[0])          # warmup: compiles + key generation
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
+    for i in range(iters):
+        out = run(cts[1 + i])
     dt = (time.perf_counter() - t0) / iters
 
     # correctness spot check

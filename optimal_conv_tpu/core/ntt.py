@@ -110,22 +110,56 @@ class NttContext:
         (self.q, self.qinv, self.r2, self.r1, self.psi_br_mont,
          self.ipsi_br_mont, self.n_inv_mont) = self.tabs(all_idx)
 
-        # transform backend.  The Pallas fused kernels (core/pallas_ntt.py)
-        # are bit-identical to the XLA path but measured SLOWER on this
-        # backend (1.76 ms/limb at logN=16 vs ~0.06 ms XLA — Mosaic
-        # relayout overhead on the per-stage twiddle broadcasts) and the
-        # Mosaic payload is recompiled inside EVERY enclosing XLA
-        # executable (~350 s at logN=16), so they stay opt-in:
-        # OPTCONV_NTT_BACKEND=pallas (runs the interpreter off-TPU).
+        # transform backend:
+        #   'xla'      — unrolled reshape stages: fastest runtime, but the
+        #                remote XLA-TPU helper needs minutes per enclosing
+        #                executable at logN≥14 (measured 6 min for a bare
+        #                [34, 2^16] forward transform).
+        #   'xla_loop' — fori_loop uniform stages (see _ntt_fwd_loop):
+        #                compile-light, ~1.5-2× runtime; default at
+        #                logN ≥ 14 where cold-compile dominates.
+        #   'pallas'   — fused Mosaic kernels (core/pallas_ntt.py):
+        #                bit-exact but measured slower on this backend and
+        #                recompiled per enclosing executable; opt-in only.
+        # Override with OPTCONV_NTT_BACKEND=xla|xla_loop|pallas|auto.
         import os
-        self.backend = os.environ.get("OPTCONV_NTT_BACKEND", "xla")
-        if self.backend not in ("xla", "pallas"):
+        self.backend = os.environ.get("OPTCONV_NTT_BACKEND", "auto")
+        if self.backend not in ("auto", "xla", "xla_loop", "pallas"):
             raise ValueError(
-                f"OPTCONV_NTT_BACKEND={self.backend!r}: use 'xla' or 'pallas'")
+                f"OPTCONV_NTT_BACKEND={self.backend!r}: "
+                "use auto|xla|xla_loop|pallas")
         self._pallas_tabs = None
+        self._loop_np = None
+        self._loop_cache: dict = {}
+
+    def _resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "xla_loop" if self.log_n >= 14 else "xla"
 
     def _pallas_active(self) -> bool:
-        return self.backend == "pallas" and self.log_n >= 8
+        return self._resolved_backend() == "pallas" and self.log_n >= 8
+
+    def _loop_active(self) -> bool:
+        return (self._resolved_backend() == "xla_loop"
+                and self.log_n > _LOG_B)
+
+    def _loop_tabs(self, idx: tuple[int, ...]):
+        """Sliced looped-transform twiddle planes for a static limb subset."""
+        got = self._loop_cache.get(idx)
+        if got is None:
+            if self._loop_np is None:
+                self._loop_np = _build_loop_tables(
+                    self.moduli, self.psi, self.log_n)
+            sel = list(idx)
+            t = self._loop_np
+            with jax.ensure_compile_time_eval():
+                got = tuple(jnp.asarray(t[k][:, sel] if t[k].ndim == 3
+                                        else t[k][sel])
+                            for k in ("twA", "f2", "f1", "itwB2", "itwB1",
+                                      "itwA", "ninv"))
+            self._loop_cache[idx] = got
+        return got
 
     def _ptabs(self):
         if self._pallas_tabs is None:
@@ -163,6 +197,10 @@ class NttContext:
             from . import pallas_ntt
             interp = _jax.devices()[0].platform != "tpu"
             return pallas_ntt.transform(a, idx, self._ptabs(), False, interp)
+        if self._loop_active():
+            twA, f2, f1, _, _, _, _ = self._loop_tabs(idx)
+            q, qinv, _, _, _, _, _ = self.tabs(idx)
+            return _ntt_fwd_loop(a, twA, f2, f1, q, qinv, self.log_n)
         q, qinv, _, _, psi, _, _ = self.tabs(idx)
         return _ntt_fwd(a, psi, q, qinv, self.log_n)
 
@@ -174,8 +212,199 @@ class NttContext:
             from . import pallas_ntt
             interp = _jax.devices()[0].platform != "tpu"
             return pallas_ntt.transform(a, idx, self._ptabs(), True, interp)
+        if self._loop_active():
+            _, _, _, itwB2, itwB1, itwA, ninv = self._loop_tabs(idx)
+            q, qinv, _, _, _, _, _ = self.tabs(idx)
+            return _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv,
+                                 self.log_n)
         q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
         return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)
+
+
+# ---------------------------------------------------------------------------
+# looped uniform-stage transforms (compile-light path for large N)
+# ---------------------------------------------------------------------------
+#
+# The unrolled reshape-stage transforms below generate ~2·logN large
+# fused stages per transform; the remote XLA-TPU helper needs minutes
+# per enclosing executable at logN=16 (measured: a bare [34, 2^16]
+# forward NTT ≈ 6 min — the dominant cold-compile cost of the whole
+# evaluator).  The looped path views coefficients as [A, B] (B = 128
+# lanes), runs ONE traced stage body per phase under lax.fori_loop
+# (roll + mask butterflies, dynamic shifts), and reads per-stage
+# twiddles from small precomputed planes:
+#   phase A (spans ≥ B): twiddle depends only on i1 → [SA, L, A]
+#   phase B (spans < B): psi_br[m+b] factorizes (exponent algebra of
+#     ψ^brv) into F2[i1]·F1[i2] → [SB, L, A] and [SB, L, B]
+# Bit-identical to the unrolled path (same butterfly network, same
+# Montgomery arithmetic) — only the schedule differs.
+
+_LOG_B = 7           # B = 128 = one TPU lane tile
+
+
+def _build_loop_tables(moduli, psi_list, log_n):
+    """Per-limb host-side twiddle planes for the looped transforms.
+
+    Returns dict of numpy arrays:
+      twA  [SA, L, A]   fwd phase-A planes      (psi_br[2^s + (i1>>(la-s))])
+      f2   [SB, L, A]   fwd phase-B row factor
+      f1   [SB, L, B]   fwd phase-B lane factor
+      itwB2/itwB1/itwA  inverse counterparts
+      ninv [L, 1]       n^-1 (Montgomery)
+    """
+    n = 1 << log_n
+    B = 1 << _LOG_B
+    A = n // B
+    la = log_n - _LOG_B
+    L = len(moduli)
+    brv = bit_reverse_perm(n)
+
+    def brv_w(x, bits):
+        out = np.zeros_like(x)
+        xx = x.copy()
+        for _ in range(bits):
+            out = (out << 1) | (xx & 1)
+            xx >>= 1
+        return out
+
+    i1 = np.arange(A, dtype=np.int64)
+    i2 = np.arange(B, dtype=np.int64)
+    brv_i1 = brv_w(i1, la)
+
+    twA = np.empty((la, L, A), dtype=np.uint64)
+    f2 = np.empty((_LOG_B, L, A), dtype=np.uint64)
+    f1 = np.empty((_LOG_B, L, B), dtype=np.uint64)
+    itwB2 = np.empty((_LOG_B, L, A), dtype=np.uint64)
+    itwB1 = np.empty((_LOG_B, L, B), dtype=np.uint64)
+    itwA = np.empty((la, L, A), dtype=np.uint64)
+    ninv = np.empty((L, 1), dtype=np.uint64)
+
+    for li, (q, ps) in enumerate(zip(moduli, psi_list)):
+        q = int(q)
+        r1 = (1 << 64) % q
+        ips = pow(ps, -1, q)
+        ninv[li, 0] = pow(n, -1, q) * r1 % q
+
+        def pw(base, e):
+            return pow(base, int(e) % (2 * n), q) * r1 % q
+
+        # fwd phase A, stage s (m = 2^s blocks): psi_br[m + (i1 >> (la-s))]
+        for s in range(la):
+            idx = (1 << s) + (i1 >> (la - s))
+            twA[s, li] = np.array([pw(ps, brv[j]) for j in idx], dtype=np.uint64)
+        # fwd phase B, stage s (global k = la+s):
+        #   F2[i1] = ψ^{brv_la(i1) << (logn-k)}
+        #   F1[i2] = ψ^{(1 + 2(brv_s(i2>>(log_b-s)) << la)) << (logn-1-k)}
+        for s in range(_LOG_B):
+            k = la + s
+            f2[s, li] = np.array(
+                [pw(ps, int(b) << (log_n - k)) for b in brv_i1], dtype=np.uint64)
+            blk2 = i2 >> (_LOG_B - s)
+            bb = brv_w(blk2, s)
+            f1[s, li] = np.array(
+                [pw(ps, (1 + 2 * (int(b) << la)) << (log_n - 1 - k))
+                 for b in bb], dtype=np.uint64)
+        # inverse phase B', stage j (t = 2^j; h = n >> (j+1); k = logn-1-j):
+        for j in range(_LOG_B):
+            k = log_n - 1 - j
+            s_low = _LOG_B - 1 - j          # bits of the i2-block index
+            itwB2[j, li] = np.array(
+                [pw(ips, int(b) << (log_n - k)) for b in brv_i1], dtype=np.uint64)
+            blk2 = i2 >> (j + 1)
+            bb = brv_w(blk2, s_low)
+            itwB1[j, li] = np.array(
+                [pw(ips, (1 + 2 * (int(b) << la)) << (log_n - 1 - k))
+                 for b in bb], dtype=np.uint64)
+        # inverse phase A', stage j2 (h = A >> (j2+1)): ipsi_br[h + (i1>>(j2+1))]
+        for j2 in range(la):
+            idx = (A >> (j2 + 1)) + (i1 >> (j2 + 1))
+            itwA[j2, li] = np.array([pw(ips, brv[j]) for j in idx],
+                                    dtype=np.uint64)
+    return dict(twA=twA, f2=f2, f1=f1, itwB2=itwB2, itwB1=itwB1, itwA=itwA,
+                ninv=ninv)
+
+
+@functools.partial(jax.jit, static_argnames="log_n")
+def _ntt_fwd_loop(a, twA, f2, f1, q, qinv, log_n):
+    n = 1 << log_n
+    B = 1 << _LOG_B
+    A = n // B
+    la = log_n - _LOG_B
+    shape = a.shape
+    x = a.reshape(shape[:-1] + (A, B))
+    q3 = q[..., None]
+    qi3 = qinv[..., None]
+    iA = jax.lax.broadcasted_iota(jnp.uint32, (A, 1), 0)
+    iB = jax.lax.broadcasted_iota(jnp.uint32, (1, B), 1)
+
+    def bodyA(s, x):
+        tw = jax.lax.dynamic_index_in_dim(twA, s, 0, keepdims=False)[..., None]
+        sv = mm.mont_mul(x, tw, q3, qi3)
+        shift = jnp.int32(A) >> (s + 1)
+        down = jnp.roll(sv, -shift, axis=-2)
+        up = jnp.roll(x, shift, axis=-2)
+        bit = (iA >> (jnp.uint32(la - 1) - s.astype(jnp.uint32))) & 1
+        return jnp.where(bit == 0, mm.add_mod(x, down, q3),
+                         mm.sub_mod(up, sv, q3))
+
+    x = jax.lax.fori_loop(0, la, bodyA, x)
+
+    def bodyB(s, x):
+        g2 = jax.lax.dynamic_index_in_dim(f2, s, 0, keepdims=False)[..., None]
+        g1 = jax.lax.dynamic_index_in_dim(f1, s, 0, keepdims=False)[..., None, :]
+        tw = mm.mont_mul(g2, g1, q3, qi3)        # [L, A, B] (Montgomery)
+        sv = mm.mont_mul(x, tw, q3, qi3)
+        shift = jnp.int32(B) >> (s + 1)
+        down = jnp.roll(sv, -shift, axis=-1)
+        up = jnp.roll(x, shift, axis=-1)
+        bit = (iB >> (jnp.uint32(_LOG_B - 1) - s.astype(jnp.uint32))) & 1
+        return jnp.where(bit == 0, mm.add_mod(x, down, q3),
+                         mm.sub_mod(up, sv, q3))
+
+    x = jax.lax.fori_loop(0, _LOG_B, bodyB, x)
+    return x.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames="log_n")
+def _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv, log_n):
+    n = 1 << log_n
+    B = 1 << _LOG_B
+    A = n // B
+    la = log_n - _LOG_B
+    shape = a.shape
+    x = a.reshape(shape[:-1] + (A, B))
+    q3 = q[..., None]
+    qi3 = qinv[..., None]
+    iA = jax.lax.broadcasted_iota(jnp.uint32, (A, 1), 0)
+    iB = jax.lax.broadcasted_iota(jnp.uint32, (1, B), 1)
+
+    def bodyB(j, x):
+        g2 = jax.lax.dynamic_index_in_dim(itwB2, j, 0, keepdims=False)[..., None]
+        g1 = jax.lax.dynamic_index_in_dim(itwB1, j, 0, keepdims=False)[..., None, :]
+        tw = mm.mont_mul(g2, g1, q3, qi3)
+        shift = jnp.int32(1) << j
+        down = jnp.roll(x, -shift, axis=-1)
+        up = jnp.roll(x, shift, axis=-1)
+        diff = mm.sub_mod(up, x, q3)
+        bit = (iB >> j.astype(jnp.uint32)) & 1
+        return jnp.where(bit == 0, mm.add_mod(x, down, q3),
+                         mm.mont_mul(diff, tw, q3, qi3))
+
+    x = jax.lax.fori_loop(0, _LOG_B, bodyB, x)
+
+    def bodyA(j2, x):
+        tw = jax.lax.dynamic_index_in_dim(itwA, j2, 0, keepdims=False)[..., None]
+        shift = jnp.int32(1) << j2
+        down = jnp.roll(x, -shift, axis=-2)
+        up = jnp.roll(x, shift, axis=-2)
+        diff = mm.sub_mod(up, x, q3)
+        bit = (iA >> j2.astype(jnp.uint32)) & 1
+        return jnp.where(bit == 0, mm.add_mod(x, down, q3),
+                         mm.mont_mul(diff, tw, q3, qi3))
+
+    x = jax.lax.fori_loop(0, la, bodyA, x)
+    x = mm.mont_mul(x, ninv[..., None], q3, qi3)
+    return x.reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnames="log_n")

@@ -34,3 +34,32 @@ class Spans:
 
 GLOBAL = Spans()
 span = GLOBAL.span
+
+
+def sync(*arrays):
+    """Force completion of the computations producing `arrays`.
+
+    jax.block_until_ready is a NO-OP on the axon remote-TPU backend
+    (measured: it returns in ~0.05 ms while the enqueued transform is
+    still running — every timing taken with it is an enqueue time, not
+    a device time).  Pulling one element to the host is the only
+    reliable sync, so benchmarks must call this instead.
+    """
+    import numpy as np
+    for a in arrays:
+        if hasattr(a, "shape"):
+            flat = a.reshape(-1) if a.ndim != 1 else a
+            np.asarray(flat[:1])
+
+
+def timeit_chained(fn, x0, iters: int = 10) -> float:
+    """Honest per-call milliseconds for x→x device function `fn`:
+    chain `iters` calls (serializing on data dependency) and sync once."""
+    x = fn(x0)
+    sync(x)                       # compile + drain queue
+    t0 = time.perf_counter()
+    x = x0
+    for _ in range(iters):
+        x = fn(x)
+    sync(x)
+    return (time.perf_counter() - t0) / iters * 1e3
