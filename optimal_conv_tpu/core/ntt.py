@@ -124,18 +124,26 @@ class NttContext:
         # Override with OPTCONV_NTT_BACKEND=xla|xla_loop|pallas|auto.
         import os
         self.backend = os.environ.get("OPTCONV_NTT_BACKEND", "auto")
-        if self.backend not in ("auto", "xla", "xla_loop", "pallas"):
+        if self.backend not in ("auto", "xla", "xla_loop", "mxu", "pallas"):
             raise ValueError(
                 f"OPTCONV_NTT_BACKEND={self.backend!r}: "
-                "use auto|xla|xla_loop|pallas")
+                "use auto|xla|xla_loop|mxu|pallas")
         self._pallas_tabs = None
         self._loop_np = None
         self._loop_cache: dict = {}
+        self._mxu_tabs = None
 
     def _resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        return "xla_loop" if self.log_n >= 14 else "xla"
+        return "mxu" if self.log_n >= 14 else "xla"
+
+    def _mxu(self):
+        if self._mxu_tabs is None:
+            from . import mxu_ntt
+            self._mxu_tabs = mxu_ntt.MxuNttTables(self.moduli, self.log_n,
+                                                  self.psi)
+        return self._mxu_tabs
 
     def _pallas_active(self) -> bool:
         return self._resolved_backend() == "pallas" and self.log_n >= 8
@@ -201,6 +209,13 @@ class NttContext:
             twA, f2, f1, _, _, _, _ = self._loop_tabs(idx)
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_fwd_loop(a, twA, f2, f1, q, qinv, self.log_n)
+        if self._resolved_backend() == "mxu":
+            from . import mxu_ntt
+            g = self._mxu().group(idx)
+            q, qinv, _, _, _, _, _ = self.tabs(idx)
+            return mxu_ntt._mxu_fwd(a, g[0], g[1], g[2], g[3], g[4], g[10],
+                                    g[11], g[12], q, qinv, self.log_n,
+                                    self.log_n - 8)
         q, qinv, _, _, psi, _, _ = self.tabs(idx)
         return _ntt_fwd(a, psi, q, qinv, self.log_n)
 
@@ -217,6 +232,13 @@ class NttContext:
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv,
                                  self.log_n)
+        if self._resolved_backend() == "mxu":
+            from . import mxu_ntt
+            g = self._mxu().group(idx)
+            q, qinv, _, _, _, _, _ = self.tabs(idx)
+            return mxu_ntt._mxu_inv(a, g[5], g[6], g[7], g[8], g[9], g[10],
+                                    g[11], g[12], q, qinv, self.log_n,
+                                    self.log_n - 8)
         q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
         return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)
 
