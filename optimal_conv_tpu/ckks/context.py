@@ -38,8 +38,47 @@ from .encoding import Encoder
 @dataclass
 class SwitchingKey:
     d0: jnp.ndarray          # [beta, l+1+P, N]  NTT + Montgomery
-    d1: jnp.ndarray
-    level: int
+    d1: jnp.ndarray | None   # None when seed-compressed (public uniform
+    level: int               # half regenerated on demand from `seed`)
+    seed: int | None = None
+
+
+class _KeyCache:
+    """LRU switching-key cache with a device-memory budget.
+
+    High-level keys at logN=16 are ~100-400 MB each (beta·(l+1+P)·N·8·2
+    bytes); a full bootstrapping rotation set exceeds the 16 GB HBM of
+    one v5e chip (the Go reference instead keeps ~100 GB of keys
+    resident in host RAM — /root/reference/README.md:67).  Keys here
+    are (re)generatable from a deterministic per-key seed, so eviction
+    is transparent: a miss regenerates the identical key.
+    """
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+        self.max_bytes = max_bytes
+        self.d = OrderedDict()
+        self.nbytes = 0
+
+    @staticmethod
+    def _size(swk: SwitchingKey) -> int:
+        b = swk.d0.size * 8
+        if swk.d1 is not None:
+            b *= 2
+        return b
+
+    def get(self, key):
+        got = self.d.get(key)
+        if got is not None:
+            self.d.move_to_end(key)
+        return got
+
+    def put(self, key, swk: SwitchingKey):
+        self.d[key] = swk
+        self.nbytes += self._size(swk)
+        while self.nbytes > self.max_bytes and len(self.d) > 1:
+            _, old = self.d.popitem(last=False)
+            self.nbytes -= self._size(old)
 
 
 class CkksContext:
@@ -65,9 +104,24 @@ class CkksContext:
         q, qinv, r2, _, _, _, _ = p.ntt.tabs(all_idx)
         self.sk2_ntt = mm.mul_mod(self.sk_ntt, self.sk_ntt, q, qinv, r2)
 
-        self._swk_cache: dict = {}
+        import os
+        self._seed = seed
+        # seed-compressed keys (store d0 + seed, regenerate the uniform
+        # d1 on use) default ON at logN ≥ 14 where key residency binds.
+        comp = os.environ.get("OPTCONV_COMPRESS_KEYS", "auto")
+        self._compress_keys = (p.log_n >= 14 if comp == "auto"
+                               else comp not in ("0", "off", "false"))
+        budget_gb = float(os.environ.get("OPTCONV_KEY_CACHE_GB", "8"))
+        self._swk_cache = _KeyCache(int(budget_gb * (1 << 30)))
         self._jit_cache: dict = {}
         self._pt_cache: dict = {}
+
+    def _key_seed(self, tag) -> int:
+        """Deterministic per-key seed: eviction + regeneration yields the
+        bit-identical key."""
+        import hashlib
+        h = hashlib.sha256(repr((self._seed, tag)).encode()).digest()
+        return int.from_bytes(h[:8], "little")
 
     def _jitted(self, key, builder):
         """Per-(name, level) compiled kernels; tables are captured as
@@ -135,47 +189,87 @@ class CkksContext:
     # switching keys
     # ------------------------------------------------------------------
 
-    def gen_switching_key(self, s_from_ntt: jnp.ndarray, level: int) -> SwitchingKey:
+    def _uniform_mont_jax(self, seed: int, beta: int,
+                          qp: tuple[int, ...]) -> jnp.ndarray:
+        """Deterministic uniform [beta, |qp|, N] residues from `seed`,
+        interpreted directly as the Montgomery form of the public key
+        half a (uniform ↔ uniform).  128 bits per residue → modulo bias
+        ≤ 2^-67."""
+        import jax
+        p = self.params
+        q, qinv, r2, r1, _, _, _ = p.ntt.tabs(qp)
+        kk = jax.random.PRNGKey(seed & 0xFFFFFFFF)
+        bits = jax.random.bits(kk, (4, beta, len(qp), p.n), dtype=jnp.uint32)
+        b64 = bits.astype(jnp.uint64)
+        hi = (b64[0] << jnp.uint64(32)) | b64[1]
+        lo = (b64[2] << jnp.uint64(32)) | b64[3]
+        # (hi·2^64 + lo) mod q  =  hi·r2·2^-64 + lo·r1·2^-64  (mod q)
+        return mm.add_mod(mm.mont_mul(hi, r2, q, qinv),
+                          mm.mont_mul(lo, r1, q, qinv), q)
+
+    def gen_switching_key(self, s_from_ntt: jnp.ndarray, level: int,
+                          seed: int | None = None) -> SwitchingKey:
         """Key switching s_from → s, generated at `level` (hybrid, P primes).
 
-        d0_d = -a_d·s + e_d + P·w_d·s_from  (w_d = CRT indicator of digit d)
-        stored NTT+Montgomery.
-        """
+        d0_d = -a_d·s + e_d + P·w_d·s_from  (w_d = CRT indicator of digit
+        d), stored NTT+Montgomery.  All beta digits are generated in ONE
+        batched pass; with a seed, generation is fully deterministic
+        (d1 = a is then regeneratable and not stored when
+        `_compress_keys` is on)."""
         p = self.params
         qp = p.qp_idx(level)
         q, qinv, r2, _, _, _, _ = p.ntt.tabs(qp)
         digits = p.digits(level)
+        beta = len(digits)
+        mods_qp = [p.moduli[i] for i in qp]
+        if seed is None:
+            seed = int(self.rng.integers(0, 1 << 62))
+        a_mont = self._uniform_mont_jax(seed, beta, qp)
+        erng = np.random.default_rng(seed ^ 0x9E3779B97F4A7C15)
+        e_ints = np.round(erng.normal(0.0, p.sigma, (beta, p.n))
+                          ).astype(np.int64)
+        e_res = np.stack([mm.centered_to_residues(e_ints[d], mods_qp)
+                          for d in range(beta)])
+        e_ntt = p.ntt.ntt(jnp.asarray(e_res), qp)
         sk = self.sk_ntt[np.asarray(qp)]
-        s_from = s_from_ntt[np.asarray(qp)]
-        d0s, d1s = [], []
-        for digit in digits:
-            a = self._uniform_poly(qp)
-            e = mm.centered_to_residues(
-                self._gauss_ints(), [p.moduli[i] for i in qp])
-            b = mm.sub_mod(p.ntt.ntt(jnp.asarray(e), qp),
-                           mm.mul_mod(a, sk, q, qinv, r2), q)
-            # + P·s_from on the digit's Q-limb rows
-            rows = np.asarray(digit)
-            pmod = np.array([p.big_p % p.moduli[i] for i in digit],
-                            dtype=np.uint64)[:, None]
-            add = mm.mul_mod(s_from[rows], jnp.asarray(pmod), q[rows],
-                             qinv[rows], r2[rows])
-            b = b.at[rows].set(mm.add_mod(b[rows], add, q[rows]))
-            d0s.append(mm.to_mont(b, q, qinv, r2))
-            d1s.append(mm.to_mont(a, q, qinv, r2))
-        return SwitchingKey(jnp.stack(d0s), jnp.stack(d1s), level)
+        a_s = mm.mont_mul(a_mont, sk, q, qinv)            # a·s (standard)
+        # P·w_d·s_from: Montgomery-form P on the digit's Q-limb rows
+        pw = np.zeros((beta, len(qp), 1), dtype=np.uint64)
+        for d, digit in enumerate(digits):
+            for i in digit:
+                pw[d, qp.index(i), 0] = (p.big_p % p.moduli[i]) \
+                    * ((1 << 64) % p.moduli[i]) % p.moduli[i]
+        ps = mm.mont_mul(s_from_ntt[np.asarray(qp)][None], jnp.asarray(pw),
+                         q, qinv)
+        b = mm.add_mod(mm.sub_mod(e_ntt, a_s, q), ps, q)
+        d0 = mm.to_mont(b, q, qinv, r2)
+        if self._compress_keys:
+            return SwitchingKey(d0, None, level, seed=seed)
+        return SwitchingKey(d0, a_mont, level, seed=seed)
+
+    def swk_d1(self, swk: SwitchingKey) -> jnp.ndarray:
+        """Materialize the public uniform half (regenerates if compressed)."""
+        if swk.d1 is not None:
+            return swk.d1
+        beta = swk.d0.shape[0]
+        return self._uniform_mont_jax(swk.seed, beta,
+                                      self.params.qp_idx(swk.level))
 
     def relin_key(self, level: int) -> SwitchingKey:
         key = ("rlk", level)
-        if key not in self._swk_cache:
-            self._swk_cache[key] = self.gen_switching_key(self.sk2_ntt, level)
-        return self._swk_cache[key]
+        swk = self._swk_cache.get(key)
+        if swk is None:
+            swk = self.gen_switching_key(self.sk2_ntt, level,
+                                         seed=self._key_seed(key))
+            self._swk_cache.put(key, swk)
+        return swk
 
     def galois_key(self, g: int, level: int) -> SwitchingKey:
         p = self.params
         g = g % (2 * p.n)
         key = ("gal", g, level)
-        if key not in self._swk_cache:
+        swk = self._swk_cache.get(key)
+        if swk is None:
             src, flip = nttmod.galois_perm_coeff(p.log_n, g)
             # φ_g(s) in NTT form on all limbs
             all_idx = tuple(range(len(p.moduli)))
@@ -184,8 +278,10 @@ class CkksContext:
             s_g = nttmod.apply_galois_coeff(
                 s_coeff, jnp.asarray(src), jnp.asarray(flip), qall)
             s_g_ntt = p.ntt.ntt(s_g, all_idx)
-            self._swk_cache[key] = self.gen_switching_key(s_g_ntt, level)
-        return self._swk_cache[key]
+            swk = self.gen_switching_key(s_g_ntt, level,
+                                         seed=self._key_seed(key))
+            self._swk_cache.put(key, swk)
+        return swk
 
     def rot_key(self, k: int, level: int) -> SwitchingKey:
         return self.galois_key(nttmod.rot_to_galois(k, self.params.log_n), level)
@@ -254,7 +350,8 @@ class CkksContext:
 
             return f
 
-        return self._jitted(("ks", level), builder)(c1, swk.d0, swk.d1)
+        return self._jitted(("ks", level), builder)(c1, swk.d0,
+                                            self.swk_d1(swk))
 
     # ------------------------------------------------------------------
     # evaluator: arithmetic
@@ -353,7 +450,7 @@ class CkksContext:
             return f
 
         c0, c1 = self._jitted(("mulct", lvl), builder)(
-            a.c0, a.c1, b.c0, b.c1, rlk.d0, rlk.d1)
+            a.c0, a.c1, b.c0, b.c1, rlk.d0, self.swk_d1(rlk))
         return Ciphertext(c0, c1, level=lvl, scale=a.scale * b.scale)
 
     def square(self, a: Ciphertext) -> Ciphertext:
@@ -447,7 +544,7 @@ class CkksContext:
             return f
 
         c0, c1 = self._jitted(("galois", lvl), builder)(
-            a.c0, a.c1, perm, swk.d0, swk.d1)
+            a.c0, a.c1, perm, swk.d0, self.swk_d1(swk))
         return Ciphertext(c0, c1, level=lvl, scale=a.scale)
 
     def rotate(self, a: Ciphertext, k: int) -> Ciphertext:
@@ -491,7 +588,7 @@ class CkksContext:
             src, flip = nttmod.galois_perm_coeff(p.log_n, g)
             perm_ntt = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
             c0, c1 = froth(a.c0, digits, jnp.asarray(src), jnp.asarray(flip),
-                           perm_ntt, swk.d0, swk.d1)
+                           perm_ntt, swk.d0, self.swk_d1(swk))
             out[k] = Ciphertext(c0, c1, level=lvl, scale=a.scale)
         return out
 

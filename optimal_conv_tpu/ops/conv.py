@@ -264,7 +264,7 @@ def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
         for si, (stp, ls, jj) in enumerate(steps):
             mono = monos[si]
             perm = perms[si]
-            d0k, d1k = swks[si].d0, swks[si].d1
+            d0k, d1k = swks[si].d0, ctx.swk_d1(swks[si])
             for i in range(0, stp, norm):
                 a0, a1 = cts[i]
                 b0 = mm.mont_mul(cts[i + stp][0], mono, q0, qinv0)

@@ -138,6 +138,6 @@ def dryrun(n_devices: int, log_n: int = 8, levels: int = 7,
     step = build_sharded_layer_step(ctx, level, mesh)
     o0, o1 = step(jax.device_put(c0, ct_sharding(mesh)),
                   jax.device_put(c1, ct_sharding(mesh)),
-                  pt.poly, perm, swk.d0, swk.d1)
+                  pt.poly, perm, swk.d0, ctx.swk_d1(swk))
     jax.block_until_ready((o0, o1))
     assert o0.shape == (b, level, params.n)
