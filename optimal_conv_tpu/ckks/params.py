@@ -179,7 +179,11 @@ def boot_params(log_n: int = 16) -> CkksParams:
         "ctos": (3 + n_stoc + n_relu + n_mod,
                  3 + n_stoc + n_relu + n_mod + n_ctos),
     }
-    return CkksParams(log_n=log_n, logq=logq, logp=(61, 61, 61, 61),
+    # 6 special primes (alpha=6): beta drops 9→6 at the top level, cutting
+    # both the key-switch NTT count and key bytes ~30% — the CtoS key set
+    # must fit the 16 GB v5e HBM (~125 MB/key compressed × ~40 keys).
+    # logQP ≈ 1621 stays inside the logN=16 128-bit budget (~1772).
+    return CkksParams(log_n=log_n, logq=logq, logp=(61,) * 6,
                       log_scale=30, h=192, sigma=3.2, boot_layout=layout)
 
 
