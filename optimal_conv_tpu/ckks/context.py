@@ -41,6 +41,10 @@ class SwitchingKey:
     d1: jnp.ndarray | None   # None when seed-compressed (public uniform
     level: int               # half regenerated on demand from `seed`)
     seed: int | None = None
+    # memoized expansion of the compressed half: regenerating d1 per
+    # keyswitch costs ~as much as the keyswitch itself, so hot keys keep
+    # it materialized; the LRU cache drops it first under memory pressure
+    d1_cache: jnp.ndarray | None = None
 
 
 class _KeyCache:
@@ -63,7 +67,7 @@ class _KeyCache:
     @staticmethod
     def _size(swk: SwitchingKey) -> int:
         b = swk.d0.size * 8
-        if swk.d1 is not None:
+        if swk.d1 is not None or swk.d1_cache is not None:
             b *= 2
         return b
 
@@ -76,6 +80,23 @@ class _KeyCache:
     def put(self, key, swk: SwitchingKey):
         self.d[key] = swk
         self.nbytes += self._size(swk)
+        self._trim()
+
+    def note_expand(self, swk: SwitchingKey):
+        """A compressed key materialized its d1_cache — charge the budget."""
+        self.nbytes += swk.d0.size * 8
+        self._trim()
+
+    def _trim(self):
+        if self.nbytes <= self.max_bytes:
+            return
+        # first pressure valve: re-compress cold keys (drop d1_cache)
+        for swk in list(self.d.values()):
+            if self.nbytes <= self.max_bytes:
+                return
+            if swk.d1 is None and swk.d1_cache is not None:
+                swk.d1_cache = None
+                self.nbytes -= swk.d0.size * 8
         while self.nbytes > self.max_bytes and len(self.d) > 1:
             _, old = self.d.popitem(last=False)
             self.nbytes -= self._size(old)
@@ -248,12 +269,17 @@ class CkksContext:
         return SwitchingKey(d0, a_mont, level, seed=seed)
 
     def swk_d1(self, swk: SwitchingKey) -> jnp.ndarray:
-        """Materialize the public uniform half (regenerates if compressed)."""
+        """Materialize the public uniform half (regenerates if compressed;
+        memoized on the key — the LRU cache may drop the memo under
+        memory pressure and it regenerates bit-identically)."""
         if swk.d1 is not None:
             return swk.d1
-        beta = swk.d0.shape[0]
-        return self._uniform_mont_jax(swk.seed, beta,
-                                      self.params.qp_idx(swk.level))
+        if swk.d1_cache is None:
+            beta = swk.d0.shape[0]
+            swk.d1_cache = self._uniform_mont_jax(
+                swk.seed, beta, self.params.qp_idx(swk.level))
+            self._swk_cache.note_expand(swk)
+        return swk.d1_cache
 
     def relin_key(self, level: int) -> SwitchingKey:
         key = ("rlk", level)
