@@ -276,8 +276,13 @@ class CkksContext:
             return swk.d1
         if swk.d1_cache is None:
             beta = swk.d0.shape[0]
-            swk.d1_cache = self._uniform_mont_jax(
-                swk.seed, beta, self.params.qp_idx(swk.level))
+            # ensure_compile_time_eval: this may run inside a jit trace
+            # (fused kernels close over keys); the memo must hold a
+            # concrete array, never a tracer
+            import jax
+            with jax.ensure_compile_time_eval():
+                swk.d1_cache = self._uniform_mont_jax(
+                    swk.seed, beta, self.params.qp_idx(swk.level))
             self._swk_cache.note_expand(swk)
         return swk.d1_cache
 

@@ -209,7 +209,12 @@ def eval_conv_bn_relu(ctx: CkksContext, btps: dict[int, SplitBootstrapper],
         elif stride:
             m = maps.m_idx if ul == 0 else maps.m_idx_l
             r = maps.r_idx if ul == 0 else maps.r_idx_l
-            keep[ul] = ext_double_ctxt(ctx, boots[ul], m, r)
+            if m is None:
+                # non-fast_pack StrConv: single-stage maps from
+                # gen_comprs_full (eval.go:513-519)
+                keep[ul] = ext_ctxt(ctx, boots[ul], r)
+            else:
+                keep[ul] = ext_double_ctxt(ctx, boots[ul], m, r)
         else:
             keep[ul] = keep_ctxt(ctx, boots[ul], maps.ext_idx[ul])
     if debug_hook:
