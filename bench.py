@@ -51,8 +51,9 @@ def main():
     ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
     # distinct input cts per timed iteration: the axon tunnel memoizes
     # (executable, inputs) pairs, so repeating one ct measures cache hits
+    iters = 16
     cts = [ct] + [ctx.encrypt(ctx.encoder.encode_coeffs(
-        inp * (1.0 - 1e-6 * (i + 1)), params.scale, 1)) for i in range(5)]
+        inp * (1.0 - 1e-6 * (i + 1)), params.scale, 1)) for i in range(iters)]
 
     # kernel prep outside the timed span, matching the reference's
     # "Conv (with BN) Done in" = conv_then_pack + bias add
@@ -68,16 +69,19 @@ def main():
     from optimal_conv_tpu.utils.timing import sync
 
     def run(ct_in):
-        out = convops.conv_then_pack(ctx, ct_in, pl, max_batch, 1, out_scale,
-                                     bias_pt=pl_b)
-        sync(out.c0, out.c1)   # block_until_ready alone is unreliable here
-        return out
+        return convops.conv_then_pack(ctx, ct_in, pl, max_batch, 1, out_scale,
+                                      bias_pt=pl_b)
 
-    out = run(cts[0])          # warmup: compiles + key generation
-    iters = 5
+    out = run(cts[0])
+    sync(out.c0, out.c1)       # warmup: compiles + key generation + drain
+    # Enqueue all iterations (distinct inputs — every conv genuinely
+    # executes) and drain ONCE: the host→device sync round-trip through
+    # the tunnel is ~30 ms, so syncing each call would measure RPC
+    # latency, not the op.  The single drain amortizes to ~2 ms/call.
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(cts[1 + i])
+    outs = [run(cts[1 + i]) for i in range(iters)]
+    out = outs[-1]
+    sync(out.c0, out.c1)
     dt = (time.perf_counter() - t0) / iters
 
     # correctness spot check
