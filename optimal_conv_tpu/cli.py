@@ -38,7 +38,8 @@ def _precision_stats(want: np.ndarray, have: np.ndarray) -> str:
             f"max {lg.max():6.2f}")
 
 
-def run_conv(ker_wid: int, i_batch: int, n_tests: int, boot: bool) -> None:
+def run_conv(ker_wid: int, i_batch: int, n_tests: int, boot: bool,
+             debug: bool = False) -> None:
     from .ckks.params import CkksParams, boot_params
     from .ckks.context import CkksContext
     from .ckks.bootstrap import SplitBootstrapper
@@ -96,10 +97,24 @@ def run_conv(ker_wid: int, i_batch: int, n_tests: int, boot: bool) -> None:
             maps = LayerMaps(ext_idx=[
                 rp.gen_keep_vec(params.n // 2, in_wid, raw_wid, 0),
                 rp.gen_keep_vec(params.n // 2, in_wid, raw_wid, 1)])
+            hook = None
+            if debug:
+                # per-stage decrypt oracles (the reference's debug=true
+                # mode); expected conv output on the full padded grid
+                from .ops.debug import DebugOracle
+                full = np.zeros((in_wid, in_wid, in_batch))
+                full[:raw_wid, :raw_wid] = raw.reshape(raw_wid, raw_wid,
+                                                       in_batch)
+                kk = ker.reshape(ker_wid, ker_wid, in_batch, in_batch)
+                pc = convops.conv2d_same_np(full, kk) * bn_a + bn_b
+                cfs = np.zeros(params.n)
+                for b in range(in_batch):
+                    cfs[b::in_batch] = pc[..., b].ravel()
+                hook = DebugOracle(ctx, in_wid, raw_wid, "Conv", pow_, 0, cfs)
             out_ct = eval_conv_bn_relu(ctx, btps, ct, ker, bn_a, bn_b, 0.0,
                                        pow_, in_wid, raw_wid, ker_wid,
                                        in_batch, in_batch, 1, 0, 1, 2, 0,
-                                       "Conv", maps)
+                                       "Conv", maps, debug_hook=hook)
         else:
             out_ct = convops.eval_conv_bn(ctx, ct, ker, bn_a, bn_b, in_wid,
                                           ker_wid, in_batch, in_batch, 1,
@@ -160,6 +175,8 @@ def main(argv=None):
     if not argv:
         print(__doc__)
         return 1
+    debug = "--debug" in argv
+    argv = [a for a in argv if a != "--debug"]
     cmd = argv[0]
     if cmd in ("conv", "convReLU"):
         ker, ib, n = int(argv[1]), int(argv[2]), int(argv[3])
@@ -167,7 +184,7 @@ def main(argv=None):
             raise SystemExit("kernel width must be 3, 5 or 7")
         if n > 10 or ib > 3:
             raise SystemExit("too many tests (>10) or batch index (>3)")
-        run_conv(ker, ib, n, boot=(cmd == "convReLU"))
+        run_conv(ker, ib, n, boot=(cmd == "convReLU"), debug=debug)
     elif cmd == "resnet":
         ker, depth, wide, n = (int(x) for x in argv[1:5])
         cf100 = argv[5].lower() in ("true", "1") if len(argv) > 5 else False

@@ -34,29 +34,35 @@ def main():
     lvl = params.max_level
     rng = np.random.default_rng(0)
     v = rng.uniform(-1, 1, params.n)
-    ct = ctx.encrypt(ctx.encoder.encode_coeffs(v, params.scale, lvl))
+    # distinct inputs per iteration (the tunnel memoizes identical
+    # (executable, input) pairs) and ONE drain per benchmark: a host
+    # sync round-trip is ~30 ms and must not be counted per call.
+    cts = [ctx.encrypt(ctx.encoder.encode_coeffs(
+        v * (1.0 - 1e-6 * i), params.scale, lvl))
+        for i in range(args.iters + 1)]
+
+    from optimal_conv_tpu.utils.timing import sync
 
     def rate(name, fn, per_call=1):
-        fn()                               # warmup/compile
+        out = fn(cts[0])                   # warmup/compile
+        sync(*jax.tree_util.tree_leaves(out))
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn()
-        jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        outs = [fn(cts[1 + i]) for i in range(args.iters)]
+        sync(*jax.tree_util.tree_leaves(outs[-1]))
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name:28s} {dt * 1e3:8.2f} ms/call  "
               f"{per_call / dt:8.1f} /s", flush=True)
         return dt
 
     idx = params.q_idx(lvl)
-    poly = ct.c0
 
-    rate("ntt [L,N]", lambda: params.ntt.ntt(poly, idx))
-    rate("rotate (keyswitch)", lambda: ctx.rotate(ct, 1).c0)
+    rate("ntt [L,N]", lambda c: params.ntt.ntt(c.c0, idx))
+    rate("rotate (keyswitch)", lambda c: ctx.rotate(c, 1).c0)
     rots = list(range(1, 9))
-    rate("hoisted rotate ×8", lambda: ctx.rotate_hoisted(ct, rots)[8].c0,
+    rate("hoisted rotate ×8", lambda c: ctx.rotate_hoisted(c, rots)[8].c0,
          per_call=8)
-    rate("ct×ct mul+relin", lambda: ctx.mul_ct(ct, ct).c0)
-    rate("rescale", lambda: ctx.rescale(ct).c0)
+    rate("ct×ct mul+relin", lambda c: ctx.mul_ct(c, c).c0)
+    rate("rescale", lambda c: ctx.rescale(c).c0)
 
     print(f"(logN={args.logn}, {args.limbs} Q-limbs + 4P, "
           f"platform={jax.devices()[0].platform})")
