@@ -42,7 +42,16 @@ def to_level_scale(ctx: CkksContext, ct: Ciphertext, level: int,
 
 
 class PowerBasis:
-    """Cache of ct powers x^i, built with immediate rescale after each mul."""
+    """Cache of ct powers x^i, built with immediate rescale after each mul.
+
+    When the chain's primes are wider than the working scale (the
+    depth-optimal "tight" layout: e.g. 45-bit relu primes at scale
+    2^30), each rescale would shrink the power's scale by q/Δ; a free
+    integer multiply by 2^k BEFORE the rescale holds the post-rescale
+    scale at ≈Δ.  The boost must precede the rescale: rescale rounding
+    noise is fixed in coefficient units, so rescaling down to Δ²/q ≈
+    2^15 first and boosting after would lock in ~2^-12 relative error
+    (measured: 4e-3 per power), while boosting first keeps it ~2^-27."""
 
     def __init__(self, ctx: CkksContext, ct: Ciphertext):
         self.ctx = ctx
@@ -59,18 +68,33 @@ class PowerBasis:
         lvl = min(a.level, b.level)
         a = self.ctx.drop_level(a, a.level - lvl)
         b = self.ctx.drop_level(b, b.level - lvl)
-        out = self.ctx.rescale(self.ctx.mul_ct(a, b))
+        prod = self.ctx.mul_ct(a, b)
+        p = self.ctx.params
+        boost = int(round(np.log2(
+            p.scale * p.q_moduli[lvl] / prod.scale)))
+        if boost >= 1:
+            prod = self.ctx.mul_scalar_int(prod, 1 << boost) \
+                       .with_scale(prod.scale * (1 << boost))
+        out = self.ctx.rescale(prod)
         self.pows[i] = out
         return out
 
 
 def evaluate_poly(ctx: CkksContext, ct: Ciphertext, coeffs: np.ndarray,
-                  target_scale: float | None = None) -> Ciphertext:
+                  target_scale: float | None = None,
+                  tight: bool = False) -> Ciphertext:
     """p(ct) for power-basis coefficients [c0, c1, ...] (real).
 
     Output lands at ct.level − depth(deg) − 1 with scale target_scale
     (default: the context's parameter scale).  Matches the reference's
     ``EvaluatePoly(ct, poly, params.Scale())`` contract.
+
+    tight=True targets the optimal ct.level − depth(deg): the top baby
+    power then sits AT the target level and its constant multiplies
+    can't burn a rescale — they encode at cs = S/pow.scale, which only
+    has usable precision when the chain primes exceed the working scale
+    by ≥ ~2^12 (the 45-bit-primes-at-2^30-scale relu layout).  Callers
+    must check that margin (ops.relu does).
     """
     coeffs = np.asarray(coeffs, dtype=np.float64)
     deg = len(coeffs) - 1
@@ -82,7 +106,7 @@ def evaluate_poly(ctx: CkksContext, ct: Ciphertext, coeffs: np.ndarray,
     # make sure the deepest power exists so levels are known
     if deg >= 2:
         basis.get(1 << (_depth_of(deg) - 1))
-    target_level = ct.level - _depth_of(deg) - 1
+    target_level = ct.level - _depth_of(deg) - (0 if tight else 1)
     out, c0 = _eval_rec(ctx, _Pow(basis), coeffs, target_level, S)
     assert out is not None, "constant polynomial"
     return ctx.add_const(out, c0) if c0 != 0.0 else out
@@ -143,9 +167,18 @@ def _eval_direct(ctx, basis, coeffs: np.ndarray, tl: int, S: float):
         if coeffs[i] == 0.0:
             continue
         pw = basis.get(i)
-        pw = ctx.drop_level(pw, pw.level - (tl + 1))
-        cs = S * ctx.params.q_moduli[tl + 1] / pw.scale
-        t = ctx.rescale(ctx.mul_const(pw, float(coeffs[i]), cs)).with_scale(S)
+        if pw.level > tl:
+            pw = ctx.drop_level(pw, pw.level - (tl + 1))
+            cs = S * ctx.params.q_moduli[tl + 1] / pw.scale
+            t = ctx.rescale(ctx.mul_const(pw, float(coeffs[i]), cs)) \
+                   .with_scale(S)
+        else:
+            # tight layout: the power already lives at the target level —
+            # constant multiply with no rescale (cs = S/pow.scale; the
+            # chain must provide cs >> 1 for precision, see evaluate_poly)
+            assert pw.level == tl, (pw.level, tl)
+            cs = S / pw.scale
+            t = ctx.mul_const(pw, float(coeffs[i]), cs).with_scale(S)
         terms.append(t)
     c0 = float(coeffs[0]) if len(coeffs) else 0.0
     if not terms:

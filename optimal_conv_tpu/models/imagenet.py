@@ -26,7 +26,8 @@ from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
 
 class ImagenetTailRunner:
     def __init__(self, ctx: CkksContext, ker_wid: int = 3,
-                 boot_kwargs: dict | None = None):
+                 boot_kwargs: dict | None = None,
+                 num_blc: tuple[int, int] = (3, 3)):
         self.ctx = ctx
         self.ker_wid = ker_wid
         p = ctx.params
@@ -36,7 +37,7 @@ class ImagenetTailRunner:
                            p.n // (8 * 8) // 2)   # full pack / half sparse
         self.norm = (1, 2)
         self.log_sparse = (0, 1)
-        self.num_blc = (3, 3)
+        self.num_blc = num_blc
         vec = p.n // 2
 
         self.keep_maps = [

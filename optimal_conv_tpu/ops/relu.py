@@ -46,14 +46,34 @@ def relu_np(x: np.ndarray, alpha: float = 0.0) -> np.ndarray:
 
 
 def eval_relu(ctx: CkksContext, ct: Ciphertext, alpha: float = 0.0) -> Ciphertext:
-    """leakyReLU(ct) = ct·(b·s(ct) + a); output scale = params scale."""
+    """leakyReLU(ct) = ct·(b·s(ct) + a); output scale ≈ params scale.
+
+    When the chain primes in the relu region exceed the working scale by
+    ≥ 2^12 (the depth-optimal 45b-primes layout), each composite runs
+    "tight" — depth(deg) levels instead of depth+1 — for 11 total levels
+    instead of 14; power scales are held at Δ by the PowerBasis boost
+    and the final product is boosted back to ≈Δ the same way."""
     a_const = (alpha + 1) / 2.0
     b_const = (1 - alpha) / 2.0
-    scale = ctx.params.scale
-    s = evaluate_poly(ctx, ct, SIGN_POLY_1, scale)
-    s = evaluate_poly(ctx, s, SIGN_POLY_2, scale)
-    s = evaluate_poly(ctx, s, SIGN_POLY_3 * b_const, scale)
+    p = ctx.params
+    scale = p.scale
+    # tight iff every prime this evaluation touches has ≥ 12 bits of
+    # margin over the working scale
+    depth_total = 3 + 3 + 4 + 1
+    lo = max(ct.level - depth_total, 0)
+    tight = all(np.log2(p.q_moduli[l]) - p.log_scale >= 12.0
+                for l in range(lo, ct.level + 1))
+    s = evaluate_poly(ctx, ct, SIGN_POLY_1, scale, tight=tight)
+    s = evaluate_poly(ctx, s, SIGN_POLY_2, scale, tight=tight)
+    s = evaluate_poly(ctx, s, SIGN_POLY_3 * b_const, scale, tight=tight)
     s = ctx.add_const(s, a_const)
     x = ctx.drop_level(ct, ct.level - s.level)
-    out = ctx.rescale(ctx.mul_ct(s, x))
-    return out
+    prod = ctx.mul_ct(s, x)
+    # boost BEFORE the rescale (see PowerBasis docstring): keeps the
+    # fixed rescale rounding noise relative to ≈Δ, not Δ²/q
+    boost = int(round(np.log2(
+        scale * p.q_moduli[prod.level] / prod.scale)))
+    if boost >= 1:
+        prod = ctx.mul_scalar_int(prod, 1 << boost) \
+                  .with_scale(prod.scale * (1 << boost))
+    return ctx.rescale(prod)

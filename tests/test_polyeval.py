@@ -75,3 +75,42 @@ def test_eval_chebyshev_sine(ctx):
     out = ctx.decrypt_decode_slots(
         evaluate_chebyshev(ctx, ct, cheb.coef, -K, K))
     np.testing.assert_allclose(out.real, f(x), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# tight (depth-optimal) evaluation: 45-bit primes at scale 2^30 give leaf
+# constants cs ≈ 2^15 so each composite consumes depth(deg) levels exactly
+# ---------------------------------------------------------------------------
+
+PARAMS_TIGHT = CkksParams(log_n=9, logq=(50,) + (45,) * 12, logp=(55, 55),
+                          log_scale=30, h=64)
+
+
+@pytest.fixture(scope="module")
+def ctx_t():
+    return CkksContext(PARAMS_TIGHT, seed=6)
+
+
+def test_eval_poly_deg7_tight_depth3(ctx_t):
+    x = RNG.uniform(-1, 1, PARAMS_TIGHT.slots)
+    lvl = PARAMS_TIGHT.max_level
+    ct = ctx_t.encrypt(ctx_t.encoder.encode_slots(x, PARAMS_TIGHT.scale, lvl))
+    out_ct = evaluate_poly(ctx_t, ct, SIGN_POLY_1, tight=True)
+    assert out_ct.level == lvl - 3, out_ct.level
+    out = ctx_t.decrypt_decode_slots(out_ct)
+    want = np.polyval(SIGN_POLY_1[::-1], x)
+    np.testing.assert_allclose(out.real, want, atol=5e-3)
+
+
+def test_eval_relu_tight_11_levels(ctx_t):
+    x = RNG.uniform(-1, 1, PARAMS_TIGHT.slots)
+    lvl = PARAMS_TIGHT.max_level
+    ct = ctx_t.encrypt(ctx_t.encoder.encode_slots(x, PARAMS_TIGHT.scale, lvl))
+    out_ct = eval_relu(ctx_t, ct)
+    assert out_ct.level == lvl - 11, out_ct.level   # 3 + 3 + 4 + 1
+    assert abs(np.log2(out_ct.scale) - PARAMS_TIGHT.log_scale) < 1.01
+    out = ctx_t.decrypt_decode_slots(out_ct)
+    want = relu_np(x)
+    assert np.max(np.abs(out.real - want)) < 2e-2
+    mask = np.abs(x) > 0.05
+    np.testing.assert_allclose(out.real[mask], want[mask], atol=5e-3)
