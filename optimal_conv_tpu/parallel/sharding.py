@@ -45,6 +45,84 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp")) -> Mesh:
     return Mesh(np.asarray(devs[:n]).reshape(dp, tp), axis_names)
 
 
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) meshes
+# ---------------------------------------------------------------------------
+#
+# The reference is single-process (SURVEY.md §2.3); scaling past one host
+# is new surface.  Axis placement follows the traffic profile of the
+# encrypted pipeline:
+#
+#   dcn (outermost)  data parallel across hosts.  Each image's layer
+#                    graph is independent (the reference's outer `for
+#                    iter` loop, test.go:128) → the hot path has ZERO
+#                    cross-host collectives; hosts only share keys
+#                    (broadcast once, amortized over the whole sweep).
+#   dp               data parallel within a host (batch of ciphertexts).
+#   tp               RNS-limb axis over ICI: basis extension / rescale
+#                    induce all-gather / reduce-scatter, which must ride
+#                    ICI, never DCN.
+#   sp               coefficient axis over ICI (NTT stage exchanges).
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize jax.distributed for a multi-host run (no-op when
+    single-process).  Returns the process count.  Arguments default to
+    the standard JAX env vars (JAX_COORDINATOR_ADDRESS etc.)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count()
+
+
+def make_hybrid_mesh(n_devices: int | None = None,
+                     n_hosts: int | None = None,
+                     axis_names=("dcn", "dp", "tp")) -> Mesh:
+    """A (dcn, dp, tp) mesh: dcn spans hosts, dp×tp spans each host's
+    chips.
+
+    Multi-process: delegates to mesh_utils.create_hybrid_device_mesh so
+    the dcn axis maps exactly onto process (host) granularity.  Single
+    process (tests, one-chip dev): emulates `n_hosts` hosts by taking the
+    leading device axis as dcn — collective-placement and bit-exactness
+    of the sharded pipeline are identical, only the physical transport
+    differs.
+    """
+    from jax.experimental import mesh_utils
+
+    if jax.process_count() > 1:
+        per_host = jax.local_device_count()
+        tp = 1
+        while tp * 2 <= per_host and per_host % (tp * 2) == 0 and tp < 4:
+            tp *= 2
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_host // tp, tp),
+            dcn_mesh_shape=(jax.process_count(), 1, 1))
+        return Mesh(devs, axis_names)
+
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    hosts = n_hosts if n_hosts is not None else (2 if n % 2 == 0 and n > 1 else 1)
+    assert n % hosts == 0
+    per = n // hosts
+    tp = 1
+    while tp * 2 <= per and per % (tp * 2) == 0 and tp < 4:
+        tp *= 2
+    return Mesh(np.asarray(devs[:n]).reshape(hosts, per // tp, tp), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, l+1, N] ciphertext batches on a hybrid mesh: batch over
+    (dcn, dp) — host-local images, no cross-host hot-path traffic —
+    limbs over tp."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "dp"), "tp", None))
+    return NamedSharding(mesh, P("dp", "tp", None))
+
+
 def ct_sharding(mesh: Mesh, batched: bool = True) -> NamedSharding:
     """[B, l+1, N] ciphertext batches: batch→dp, limbs→tp, coeffs local."""
     if batched:
@@ -99,7 +177,7 @@ def build_sharded_layer_step(ctx: CkksContext, level: int, mesh: Mesh):
 
     batched = jax.vmap(one, in_axes=(0, 0, None, None, None, None))
 
-    cts = ct_sharding(mesh)
+    cts = batch_sharding(mesh)
     ks = key_sharding(mesh)
     rep = NamedSharding(mesh, P())
     # out_shardings inferred: the rescale drops a limb, so the output limb
@@ -117,12 +195,14 @@ def dryrun(n_devices: int, log_n: int = 8, levels: int = 7,
     Used by the driver's multichip validation (see __graft_entry__) and
     by tests on the fake-CPU-device mesh.
     """
-    mesh = make_mesh(n_devices)
+    # ≥8 devices: exercise the full (dcn, dp, tp) hybrid layout the
+    # production sweep uses; smaller meshes stay (dp, tp)
+    mesh = make_hybrid_mesh(n_devices) if n_devices >= 8 else make_mesh(n_devices)
     params = CkksParams(log_n=log_n, logq=(45,) + (35,) * levels,
                         logp=(45, 45, 45, 45), log_scale=25, h=32)
     ctx = CkksContext(params, seed=0)
     level = params.max_level
-    dp = mesh.devices.shape[0]
+    dp = int(np.prod(mesh.devices.shape[:-1]))
     b = dp if batch is None else batch
 
     rng = np.random.default_rng(0)
@@ -136,8 +216,8 @@ def dryrun(n_devices: int, log_n: int = 8, levels: int = 7,
     perm = jnp.asarray(nttmod.galois_perm_ntt(params.log_n, g))
 
     step = build_sharded_layer_step(ctx, level, mesh)
-    o0, o1 = step(jax.device_put(c0, ct_sharding(mesh)),
-                  jax.device_put(c1, ct_sharding(mesh)),
+    o0, o1 = step(jax.device_put(c0, batch_sharding(mesh)),
+                  jax.device_put(c1, batch_sharding(mesh)),
                   pt.poly, perm, swk.d0, ctx.swk_d1(swk))
     jax.block_until_ready((o0, o1))
     assert o0.shape == (b, level, params.n)
