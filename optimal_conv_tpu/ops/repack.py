@@ -278,6 +278,58 @@ def gen_comprs_sparse(vec_size: int, in_wid: int, kp_wid: int, log_sparse: int,
 
 
 # ---------------------------------------------------------------------------
+# extension (transposed-conv repack) generators
+# ---------------------------------------------------------------------------
+#
+# The reference's extend generators were deleted upstream (rot_util.go has
+# only the compress family left; the TransConv kind in evalConv_BNRelu_new
+# still dispatches to ext_ctxt with extension maps that nothing builds —
+# /root/reference/eval.go:494).  We reconstruct them as the EXACT inverses
+# of the compression maps: a masked-rotate-accumulate Σ_r lrot(x⊙m_r, r)
+# moves source s (m_r[s]=1) to s−r, so its inverse is Σ_r lrot(y⊙m'_r, −r)
+# with the mask carried to the destination side, m'_r = lrot(m_r, r).
+# Injectivity of the forward map (disjoint destinations — asserted) makes
+# the inversion exact.
+
+
+def invert_rot_maps(maps: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+    """Inverse of one masked-rotate-accumulate stage."""
+    dest_cover = None
+    out: dict[int, np.ndarray] = {}
+    for rot, mask in maps.items():
+        moved = lrot(mask, rot)
+        dest_cover = moved if dest_cover is None else dest_cover + moved
+        out[-rot] = out.get(-rot, 0) + moved
+    assert dest_cover is not None and dest_cover.max() <= 1, \
+        "forward map not injective — cannot invert"
+    return out
+
+
+def gen_extend_full(vec_size: int, in_wid: int, kp_wid: int, pos: int,
+                    ul: int) -> dict[int, np.ndarray]:
+    """Single-stage extension map: inverse of gen_comprs_full — scatter a
+    stride-compressed layout back onto the 2× grid (the TransConv
+    repack)."""
+    return invert_rot_maps(gen_comprs_full(vec_size, in_wid, kp_wid, pos, ul))
+
+
+def gen_extend_fast(vec_size: int, in_wid: int, kp_wid: int, pos: int,
+                    ul: int) -> tuple[dict, dict]:
+    """Two-stage (BSGS) extension maps: inverse of gen_comprs_fast with
+    the stage order swapped (inv(m∘r) = inv(r)∘inv(m))."""
+    m_idx, r_idx = gen_comprs_fast(vec_size, in_wid, kp_wid, pos, ul)
+    return invert_rot_maps(r_idx), invert_rot_maps(m_idx)
+
+
+def gen_extend_sparse(vec_size: int, in_wid: int, kp_wid: int,
+                      log_sparse: int, ul: int, pos: int) -> tuple[dict, dict]:
+    """Inverse of gen_comprs_sparse (sparse/full-pack compression)."""
+    m_idx, r_idx = gen_comprs_sparse(vec_size, in_wid, kp_wid, log_sparse,
+                                     ul, pos)
+    return invert_rot_maps(r_idx), invert_rot_maps(m_idx)
+
+
+# ---------------------------------------------------------------------------
 # plaintext mirrors (executable spec; reference rot_util.go:35-136,277-422)
 # ---------------------------------------------------------------------------
 

@@ -70,3 +70,39 @@ def test_conv3_sparse_norm2(ctx):
 def test_conv3_fewer_outs(ctx):
     got, want = run_conv_case(ctx, in_wid=16, ker_wid=3, real_ib=16, real_ob=16)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_trans_conv_is_stride2_transposed_conv(ctx):
+    """TransConv path (prep_input trans + reshape_ker trans): the
+    homomorphic result equals a stride-2 transposed convolution.
+
+    Semantics (reference set_Variables 'TransConv', eval.go:42-48 +
+    prep_Input trans, main.go:1012-1021): input scattered at odd grid
+    positions, kernel passed [kh, kw, Cout, Cin] (the trans indexing of
+    reshape_ker, conv.go:193 reads out/in swapped) with taps flipped →
+    the poly product computes conv_transpose2d(img, ker, stride=2) on
+    the full in_wid grid."""
+    n = PARAMS.n
+    in_wid, ker_wid = 16, 3
+    batch = n // (in_wid * in_wid)
+    raw = 6                                   # < in_wid/2 (set_Variables guard)
+    out_batch = batch // 4
+    img = RNG.uniform(-1, 1, (raw, raw, batch))
+    ker = RNG.uniform(-1, 1, (ker_wid, ker_wid, batch, out_batch)) / ker_wid**2
+    bn_a = RNG.uniform(0.5, 1.5, out_batch)
+    bn_b = RNG.uniform(-0.5, 0.5, out_batch)
+
+    inp = convops.prep_input(img.ravel(), raw, in_wid, n, 1, trans=True)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, PARAMS.scale, 1))
+    out_ct = convops.eval_conv_bn(
+        ctx, ct, ker.transpose(0, 1, 3, 2).ravel(), bn_a, bn_b, in_wid,
+        ker_wid, batch, out_batch, 1, float(1 << 30), trans=True)
+    cfs = ctx.decrypt_decode_coeffs(out_ct)
+    got = cfs.reshape(in_wid, in_wid, batch)[:, :, :out_batch]
+
+    # oracle: dilate input onto odd positions, convolve (flipped-kernel
+    # correlation) — the standard transposed conv
+    dil = np.zeros((in_wid, in_wid, batch))
+    dil[1::2, 1::2][:raw, :raw] = img
+    want = convops.conv2d_same_np(dil, ker[::-1, ::-1]) * bn_a + bn_b
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -57,6 +57,51 @@ def test_keep_vec_sparse_replicates():
         np.testing.assert_array_equal(m[k * post:(k + 1) * post], m[:post])
 
 
+@pytest.mark.parametrize("in_wid,kp_wid", [(16, 8), (16, 14), (32, 30)])
+@pytest.mark.parametrize("ul", [0, 1])
+def test_extend_inverts_comprs_full(in_wid, kp_wid, ul):
+    """extend ∘ comprs == identity on the compressed layout's image, and
+    comprs ∘ extend == identity on the compressed layout itself — the
+    TransConv repack is the exact inverse of the StrConv repack."""
+    vec_size = in_wid * in_wid * 8
+    x = RNG.normal(size=vec_size)
+    fwd = rp.gen_comprs_full(vec_size, in_wid, kp_wid, 0, ul)
+    inv = rp.gen_extend_full(vec_size, in_wid, kp_wid, 0, ul)
+    comp = rp.apply_rot_maps(x, fwd)
+    back = rp.apply_rot_maps(comp, inv)
+    # back == x wherever the forward map reads (mask support)
+    support = np.zeros(vec_size)
+    for m in fwd.values():
+        support = support + m
+    np.testing.assert_allclose(back * support, x * support)
+    # and the other direction: comprs(extend(y)) == y on the image
+    np.testing.assert_allclose(rp.apply_rot_maps(back, fwd), comp)
+
+
+@pytest.mark.parametrize("in_wid,kp_wid", [(16, 8), (32, 30)])
+def test_extend_fast_inverts_comprs_fast(in_wid, kp_wid):
+    vec_size = in_wid * in_wid * 8
+    x = RNG.normal(size=vec_size)
+    comp = rp.comprs_full_fast(x, in_wid, kp_wid, 0, 0)
+    em, er = rp.gen_extend_fast(vec_size, in_wid, kp_wid, 0, 0)
+    back = rp.apply_rot_maps(rp.apply_rot_maps(comp, em), er)
+    fm, fr = rp.gen_comprs_fast(vec_size, in_wid, kp_wid, 0, 0)
+    again = rp.apply_rot_maps(rp.apply_rot_maps(back, fm), fr)
+    np.testing.assert_allclose(again, comp)
+
+
+@pytest.mark.parametrize("log_sparse", [1, 2])
+def test_extend_sparse_inverts_comprs_sparse(log_sparse):
+    in_wid, kp_wid = 16, 8
+    vec_size = in_wid * in_wid * 8
+    x = RNG.normal(size=vec_size)
+    comp = rp.comprs_vec_sparse(x, in_wid, kp_wid, log_sparse, 0, 0)
+    em, er = rp.gen_extend_sparse(vec_size, in_wid, kp_wid, log_sparse, 0, 0)
+    back = rp.apply_rot_maps(rp.apply_rot_maps(comp, em), er)
+    again = rp.comprs_vec_sparse(back, in_wid, kp_wid, log_sparse, 0, 0)
+    np.testing.assert_allclose(again, comp)
+
+
 def test_reverse_bits():
     assert rp.reverse_bits(1, 4) == 8
     assert rp.reverse_bits(0b1011, 4) == 0b1101
