@@ -88,17 +88,20 @@ class LinearTransform:
         for k, v in diags.items():
             kk = k % n
             norm[kk] = norm.get(kk, 0) + v
-        self.plan: dict[int, dict[int, Plaintext]] = {}
+        plan: dict[int, dict[int, Plaintext]] = {}
         for kk, v in norm.items():
             g, r = divmod(kk, self.bs)
             pt = ctx.encoder.encode_slots(np.roll(v, g * self.bs),
                                           self.pt_scale, level)
-            self.plan.setdefault(g * self.bs, {})[r] = pt
-        self.babies = sorted({r for d in self.plan.values() for r in d})
-        # pre-stack plaintexts per giant for the fused inner sum
+            plan.setdefault(g * self.bs, {})[r] = pt
+        self.babies = sorted({r for d in plan.values() for r in d})
+        # pre-stack plaintexts per giant for the fused inner sum; the
+        # per-pt objects are NOT retained — at logN=16 a bootstrapper
+        # family holds ~8.6 GiB of DFT plaintexts, so a second resident
+        # copy would blow the 16 GB HBM by itself
         self.stacked = [
             (g, sorted(terms), jnp.stack([terms[r].poly for r in sorted(terms)]))
-            for g, terms in sorted(self.plan.items())]
+            for g, terms in sorted(plan.items())]
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
         """BSGS apply: hoisted baby rotations, then per giant one fused
@@ -321,3 +324,39 @@ def _cheb_depth(deg: int) -> int:
     while (1 << d) < deg + 1:
         d += 1
     return d + 1
+
+
+class BootstrapperFamily:
+    """Lazy {log_sparse: SplitBootstrapper} with bounded device residency.
+
+    The reference keeps all 5 bootstrappers resident for the whole run
+    (btp..btp5, /root/reference/main.go:480-505) — part of its ~100 GB
+    footprint.  On a 16 GB HBM chip the family's DFT plaintexts alone
+    (~8.6 GiB at logN=16) don't fit next to the switching keys, so
+    bootstrappers are built on first use and at most `max_live` stay
+    resident (block-structured models touch one log_sparse for many
+    consecutive layers, so eviction is rare: ~5 rebuilds per ResNet).
+    """
+
+    def __init__(self, ctx: CkksContext, boot_kwargs: dict | None = None,
+                 max_live: int | None = None):
+        import os
+        from collections import OrderedDict
+        self.ctx = ctx
+        self.kwargs = dict(boot_kwargs or {})
+        if max_live is None:
+            max_live = int(os.environ.get(
+                "OPTCONV_BTP_LIVE", "2" if ctx.params.log_n >= 15 else "8"))
+        self.max_live = max_live
+        self._live: "OrderedDict[int, SplitBootstrapper]" = OrderedDict()
+
+    def __getitem__(self, ls: int) -> SplitBootstrapper:
+        btp = self._live.get(ls)
+        if btp is not None:
+            self._live.move_to_end(ls)
+            return btp
+        while len(self._live) >= self.max_live:
+            self._live.popitem(last=False)
+        btp = SplitBootstrapper(self.ctx, log_sparse=ls, **self.kwargs)
+        self._live[ls] = btp
+        return btp

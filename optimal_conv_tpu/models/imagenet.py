@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ckks.context import CkksContext
-from ..ckks.bootstrap import SplitBootstrapper
+from ..ckks.bootstrap import BootstrapperFamily
 from ..ops import conv as convops
 from ..ops import repack as rp
 from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
@@ -50,9 +50,7 @@ class ImagenetTailRunner:
         m1, r1 = rp.gen_comprs_sparse(vec, 16, self.kp_wids[1], 0, 1, 0)
         self.str_maps = LayerMaps(m_idx=m0, r_idx=r0, m_idx_l=m1, r_idx_l=r1)
 
-        bk = dict(boot_kwargs or {})
-        self.btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, **bk)
-                     for ls in (0, 1)}
+        self.btps = BootstrapperFamily(ctx, boot_kwargs)
 
     def encrypt_input(self, x: np.ndarray):
         """x [14, 14, C0] (C0 = full batch of block 1) → level-1 ct."""

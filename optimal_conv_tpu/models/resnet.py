@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ckks.context import CkksContext
-from ..ckks.bootstrap import SplitBootstrapper
+from ..ckks.bootstrap import BootstrapperFamily
 from ..ops import conv as convops
 from ..ops import repack as rp
 from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
@@ -102,11 +102,9 @@ class ResNetRunner:
             self.str_maps.append(maps)
             self.str_ls.append(ls_comb)
 
-        # bootstrapper family (one per log_sparse in use)
-        bk = dict(boot_kwargs or {})
-        need = sorted(set(self.log_sparse) | set(self.str_ls))
-        self.btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, **bk)
-                     for ls in need}
+        # bootstrapper family (one per log_sparse in use) — lazy with
+        # bounded device residency; see BootstrapperFamily
+        self.btps = BootstrapperFamily(ctx, boot_kwargs)
 
     # ------------------------------------------------------------------
 
