@@ -253,30 +253,37 @@ def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
         red_ntt = ntt.ntt(red, (0,))
         return mm.mont_mul(mm.sub_mod(c[:1], red_ntt, q0), q1inv, q0, qinv0)
 
+    ks_batched = jax.vmap(lambda c, d0k, d1k: core0(dec0(c), d0k, d1k),
+                          in_axes=(0, None, None))
+    rescale10_b = jax.vmap(rescale10)
+
     def fused(c0, c1, pls, bias=None):
-        cts = [None] * max_ob
-        for ci, i in enumerate(range(0, max_ob, norm)):
-            m0 = mm.mont_mul(mm.mont_mul(c0, pls[ci], q01, qinv01), c_mont,
-                             q01, qinv01)
-            m1 = mm.mont_mul(mm.mont_mul(c1, pls[ci], q01, qinv01), c_mont,
-                             q01, qinv01)
-            cts[i] = (rescale10(m0), rescale10(m1))
+        # All channel products and all key-switches of one butterfly
+        # stage are batched (vmap) rather than unrolled: at
+        # max_ob/norm=16 the unrolled graph held 15 full key-switch
+        # subgraphs and OOM-killed the XLA compile at logN=16.
+        m0 = mm.mont_mul(mm.mont_mul(c0[None], pls, q01, qinv01), c_mont,
+                         q01, qinv01)
+        m1 = mm.mont_mul(mm.mont_mul(c1[None], pls, q01, qinv01), c_mont,
+                         q01, qinv01)
+        cur0 = rescale10_b(m0)          # [C, 1, N], C = max_ob // norm
+        cur1 = rescale10_b(m1)
         for si, (stp, ls, jj) in enumerate(steps):
             mono = monos[si]
             perm = perms[si]
             d0k, d1k = swks[si].d0, ctx.swk_d1(swks[si])
-            for i in range(0, stp, norm):
-                a0, a1 = cts[i]
-                b0 = mm.mont_mul(cts[i + stp][0], mono, q0, qinv0)
-                b1 = mm.mont_mul(cts[i + stp][1], mono, q0, qinv0)
-                t10 = mm.add_mod(a0, b0, q0)
-                t11 = mm.add_mod(a1, b1, q0)
-                t20 = nttmod.apply_galois_ntt(mm.sub_mod(a0, b0, q0), perm)
-                t21 = nttmod.apply_galois_ntt(mm.sub_mod(a1, b1, q0), perm)
-                ks0, ks1 = core0(dec0(t21), d0k, d1k)
-                cts[i] = (mm.add_mod(t10, mm.add_mod(t20, ks0, q0), q0),
-                          mm.add_mod(t11, ks1, q0))
-        r0, r1 = cts[0]
+            k = stp // norm
+            a0, a1 = cur0[:k], cur1[:k]
+            b0 = mm.mont_mul(cur0[k: 2 * k], mono, q0, qinv0)
+            b1 = mm.mont_mul(cur1[k: 2 * k], mono, q0, qinv0)
+            t10 = mm.add_mod(a0, b0, q0)
+            t11 = mm.add_mod(a1, b1, q0)
+            t20 = nttmod.apply_galois_ntt(mm.sub_mod(a0, b0, q0), perm)
+            t21 = nttmod.apply_galois_ntt(mm.sub_mod(a1, b1, q0), perm)
+            ks0, ks1 = ks_batched(t21, d0k, d1k)
+            cur0 = mm.add_mod(t10, mm.add_mod(t20, ks0, q0), q0)
+            cur1 = mm.add_mod(t11, ks1, q0)
+        r0, r1 = cur0[0], cur1[0]
         if bias is not None:
             r0 = mm.add_mod(r0, bias, q0)
         return r0, r1
