@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Pre-warm the XLA compile cache for the production (logN=16) chain.
+
+The fused-layer pipeline walks one (op, level) kernel ladder; cold
+remote compiles are minutes each and serialize inside a single run.
+This script triggers the same compilations from a second process so the
+shared on-disk cache (~/.cache/optimal_conv_tpu_xla) fills in parallel
+— run it alongside a cold ResNet run, ideally in the OPPOSITE level
+order (--start-low compiles the ReLU/repack/StoC regions first, which
+the main run reaches last).
+
+    python scripts/prewarm_kernels.py [--logn 16] [--start-low]
+    python scripts/prewarm_kernels.py --levels 16,15,14
+
+Values are garbage on purpose: compilation only depends on shapes.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=16)
+    ap.add_argument("--start-low", action="store_true")
+    ap.add_argument("--levels", type=str, default=None,
+                    help="comma-separated level list (overrides order)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    from optimal_conv_tpu.ckks.params import boot_params
+    from optimal_conv_tpu.ckks.context import CkksContext
+    from optimal_conv_tpu.ckks.types import Ciphertext
+
+    params = boot_params(args.logn)
+    ctx = CkksContext(params, seed=0)
+    lay = params.boot_layout
+
+    levels = (list(range(1, params.max_level + 1)) if args.start_low
+              else list(range(params.max_level, 0, -1)))
+    if args.levels:
+        levels = [int(x) for x in args.levels.split(",")]
+
+    rng = np.random.default_rng(0)
+
+    def dummy_ct(lvl):
+        rows = np.stack([rng.integers(0, params.moduli[i], size=params.n,
+                                      dtype=np.uint64)
+                         for i in range(lvl + 1)])
+        return Ciphertext(jnp.asarray(rows), jnp.asarray(rows), level=lvl,
+                          scale=params.scale)
+
+    for lvl in levels:
+        t0 = time.perf_counter()
+        ct = dummy_ct(lvl)
+        # the per-level kernel family the pipeline uses
+        ctx.rotate(ct, 1)                       # galois + ks + decompose
+        ctx.rotate_hoisted(ct, [1, 2])          # dec + hoistrot
+        if lvl >= 1:
+            ctx.rescale(ct)
+        relu_lo, relu_hi = lay["relu"]
+        if relu_lo <= lvl < relu_hi + 1:
+            ctx.mul_ct(ct, ct)                  # relin at ReLU levels
+        em_lo, em_hi = lay["evalmod"]
+        if em_lo <= lvl < em_hi:
+            ctx.mul_ct(ct, ct)
+        print(f"level {lvl} warmed in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
