@@ -151,32 +151,69 @@ class MxuNttTables:
             c80[li] = ((1 << 80) % q) * ((1 << 64) % q) % q
             r1[li] = (1 << 64) % q
         self.c40, self.c80, self.r1 = c40, c80, r1
+        # bytes needed to represent a canonical residue of each limb —
+        # the adaptive-width path runs 30/45/55-bit limbs with 4/6/7 byte
+        # planes instead of 8, cutting the dominant [8M, 8N] int32
+        # intermediate (and its recombination pass) proportionally.
+        self.nbytes = [max(1, (int(q).bit_length() + 7) // 8)
+                       for q in moduli]
         self._cache: dict = {}
 
-    def group(self, idx: tuple[int, ...]):
-        key = idx
+    def group(self, idx: tuple[int, ...], nb: int = 8):
+        key = (idx, nb)
         got = self._cache.get(key)
         if got is None:
+            assert all(self.nbytes[i] <= nb for i in idx), (idx, nb)
             sel = list(idx)
-            with jax.ensure_compile_time_eval():
-                got = tuple(jnp.asarray(t[sel]) for t in (
-                    self.w1_b, self.w1_r, self.t_mont, self.w2_b, self.w2_r,
-                    self.iv2_b, self.iv2_r, self.it_mont, self.iv1_b,
-                    self.iv1_r, self.c40, self.c80, self.r1))
+            planed = {0, 1, 3, 4, 5, 6, 8, 9}       # tensors with a byte-
+            with jax.ensure_compile_time_eval():    # plane axis at dim 1
+                got = tuple(
+                    jnp.asarray(t[sel][:, :nb] if k in planed else t[sel])
+                    for k, t in enumerate((
+                        self.w1_b, self.w1_r, self.t_mont, self.w2_b,
+                        self.w2_r, self.iv2_b, self.iv2_r, self.it_mont,
+                        self.iv1_b, self.iv1_r, self.c40, self.c80,
+                        self.r1)))
             self._cache[key] = got
         return got
+
+    def buckets(self, idx: tuple[int, ...]) -> list[tuple[tuple[int, ...], int]]:
+        """Partition positions of `idx` into byte-width classes.
+
+        Returns [(positions_into_idx, nb)] — each bucket transformed in
+        its own (narrower) int8 matmul.  Classes with <3 limbs merge into
+        a wider bucket (always safe: a residue fits any nb ≥ its own)
+        so tiny buckets don't multiply kernel count.
+        """
+        nbs = [self.nbytes[i] for i in idx]
+        out: list[tuple[tuple[int, ...], int]] = []
+        pend: list[int] = []
+        pend_nb = 0
+        for c in sorted(set(nbs), reverse=True):
+            pend += [p for p, v in enumerate(nbs) if v == c]
+            pend_nb = max(pend_nb, c)
+            if len(pend) >= 3:
+                out.append((tuple(pend), pend_nb))
+                pend, pend_nb = [], 0
+        if pend:
+            if out:           # fold leftover small limbs into a wider bucket
+                pos, nb = out[-1]
+                out[-1] = (pos + tuple(pend), nb)
+            else:
+                out.append((tuple(pend), pend_nb))
+        return out
 
 
 # ---------------------------------------------------------------------------
 # exact modular matmul on int8 tiles
 # ---------------------------------------------------------------------------
 
-def _x_bytes(x):
-    """u64 [.., L, T, NN] → int8 [.., L, T, 8·NN] (bytes−128, byte-major
-    along the last axis), plus col corrections [.., L, 8, NN]."""
+def _x_bytes(x, nb=8):
+    """u64 [.., L, T, NN] → int8 [.., L, T, nb·NN] (bytes−128, byte-major
+    along the last axis), plus col corrections [.., L, nb, NN]."""
     outs = []
     cols = []
-    for s in range(8):
+    for s in range(nb):
         b = ((x >> jnp.uint64(8 * s)) & jnp.uint64(0xFF)).astype(jnp.int32)
         s8 = b - 128
         outs.append(s8.astype(jnp.int8))
@@ -187,28 +224,30 @@ def _x_bytes(x):
 def _mod_matmul(w_b, w_r, xb, xc, q, qinv, c40, c80, r1, T):
     """Σ_t W[m,t]·x[t,n] mod q.
 
-    w_b [L, 8, M, T] int8 (W bytes − 128), w_r [L, 8, M] row corrections,
-    xb [.., L, T, 8N] int8, xc [.., L, 8, N] col corrections,
-    T = contraction length.  Returns [.., L, M, N] canonical u64.
+    w_b [L, nb, M, T] int8 (W bytes − 128), w_r [L, nb, M] row corrections,
+    xb [.., L, T, nb·N] int8, xc [.., L, nb, N] col corrections,
+    T = contraction length.  nb = byte planes (8 for 64-bit limbs; fewer
+    for narrow limbs — see MxuNttTables.nbytes).  Returns [.., L, M, N]
+    canonical u64.
     """
-    L, _, M, _ = w_b.shape
+    L, nb, M, _ = w_b.shape
     N = xc.shape[-1]
     # lhs layout: [(p·M+m), t] — p-major, so tile (p, s) lands at
     # [p·M:(p+1)·M, s·N:(s+1)·N] of the big product
-    w_flat = w_b.reshape(L, 8 * M, T)
+    w_flat = w_b.reshape(L, nb * M, T)
     big = jnp.einsum("lmt,...ltn->...lmn", w_flat, xb,
-                     preferred_element_type=jnp.int32)      # [.., L, 8M, 8N]
+                     preferred_element_type=jnp.int32)    # [.., L, nbM, nbN]
     lead = big.shape[:-3]
-    big = big.reshape(lead + (L, 8, M, 8, N))
+    big = big.reshape(lead + (L, nb, M, nb, N))
 
-    # byte-diagonal groups s' = p + s ∈ [0, 14], with corrections:
+    # byte-diagonal groups s' = p + s ∈ [0, 2nb−2], with corrections:
     #   true product tile(p,s) = big[p,s] + 128·Σ_t W_s8 (row) +
     #                            128·Σ_t x_s8 (col) + 128²·T
     K = jnp.int32(128 * 128 * T)
     groups = []
-    for sp in range(15):
+    for sp in range(2 * nb - 1):
         acc = None
-        for p in range(max(0, sp - 7), min(8, sp + 1)):
+        for p in range(max(0, sp - (nb - 1)), min(nb, sp + 1)):
             s = sp - p
             t = (big[..., p, :, s, :]
                  + w_r[:, p, :, None] + xc[..., s, None, :] + K)
@@ -222,12 +261,13 @@ def _mod_matmul(w_b, w_r, xb, xc, q, qinv, c40, c80, r1, T):
             acc = (acc << jnp.uint64(8)) + g.astype(jnp.uint64)
         return acc
 
-    lo = part(groups[0:5])
-    mi = part(groups[5:10])
-    hi = part(groups[10:15])
-    out = mm.mont_mul(lo, r1, q, qinv)                      # lo mod q
-    out = mm.add_mod(out, mm.mont_mul(mi, c40, q, qinv), q)
-    out = mm.add_mod(out, mm.mont_mul(hi, c80, q, qinv), q)
+    out = mm.mont_mul(part(groups[0:5]), r1, q, qinv)       # lo mod q
+    if len(groups) > 5:
+        out = mm.add_mod(out, mm.mont_mul(part(groups[5:10]), c40, q, qinv),
+                         q)
+    if len(groups) > 10:
+        out = mm.add_mod(out, mm.mont_mul(part(groups[10:15]), c80, q, qinv),
+                         q)
     return out
 
 
@@ -245,8 +285,9 @@ def _mxu_fwd(a, w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv,
     x = a.reshape(shape[:-1] + (A, B))
     q3 = q[..., None]
     qi3 = qinv[..., None]
+    nb = w1_b.shape[1]
     # step 1: Y[r, i2] = Σ_{i1} W1[r, i1]·x[i1, i2]  (contraction T = A)
-    xb, xc = _x_bytes(x)
+    xb, xc = _x_bytes(x, nb)
     y = _mod_matmul(w1_b, w1_r, xb, xc, q3, qi3, c40, c80, r1, A)
     # step 2: ⊙ T (Montgomery)
     z = mm.mont_mul(y, t_mont, q3, qi3)
@@ -254,7 +295,7 @@ def _mxu_fwd(a, w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv,
     # z so the contraction axis is second-to-last: [.., L, i2, r?]  — use
     # the same helper with x = zᵀ then transpose back.
     zt = jnp.swapaxes(z, -1, -2)                       # [.., L, B(i2), A(r)]
-    zb, zc = _x_bytes(zt)
+    zb, zc = _x_bytes(zt, nb)
     xt = _mod_matmul(w2_b, w2_r, zb, zc, q3, qi3, c40, c80, r1, B)
     out = jnp.swapaxes(xt, -1, -2)                     # [.., L, A(r), B(c)]
     return out.reshape(shape)
@@ -270,14 +311,15 @@ def _mxu_inv(a, iv2_b, iv2_r, it_mont, iv1_b, iv1_r, c40, c80, r1, q, qinv,
     x = a.reshape(shape[:-1] + (A, B))                 # [.., L, r, c]
     q3 = q[..., None]
     qi3 = qinv[..., None]
+    nb = iv2_b.shape[1]
     # step 1: U[r, i2] = Σ_c V2[i2, c]·x[r, c] → (x ·q V2ᵀ)
     xt = jnp.swapaxes(x, -1, -2)                       # [.., L, c, r]
-    xb, xc = _x_bytes(xt)
+    xb, xc = _x_bytes(xt, nb)
     ut = _mod_matmul(iv2_b, iv2_r, xb, xc, q3, qi3, c40, c80, r1, B)
     u = jnp.swapaxes(ut, -1, -2)                       # [.., L, r, i2]
     # step 2: ⊙ Ti
     u = mm.mont_mul(u, it_mont, q3, qi3)
     # step 3: a[i1, i2] = Σ_r V1[i1, r]·u[r, i2]
-    ub, uc = _x_bytes(u)
+    ub, uc = _x_bytes(u, nb)
     out = _mod_matmul(iv1_b, iv1_r, ub, uc, q3, qi3, c40, c80, r1, A)
     return out.reshape(shape)

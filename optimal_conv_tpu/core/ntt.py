@@ -128,6 +128,13 @@ class NttContext:
             raise ValueError(
                 f"OPTCONV_NTT_BACKEND={self.backend!r}: "
                 "use auto|xla|xla_loop|mxu|pallas")
+        # mxu byte-plane policy: 'uniform' = 8 planes for every limb;
+        # 'auto' = bucket limbs by width and run 30/45/55-bit limbs with
+        # 4/6/7 planes (less int32 intermediate traffic, bit-identical).
+        self._mxu_nb = os.environ.get("OPTCONV_MXU_NB", "uniform")
+        if self._mxu_nb not in ("uniform", "auto"):
+            raise ValueError(f"OPTCONV_MXU_NB={self._mxu_nb!r}: "
+                             "use uniform|auto")
         self._pallas_tabs = None
         self._loop_np = None
         self._loop_cache: dict = {}
@@ -210,12 +217,7 @@ class NttContext:
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_fwd_loop(a, twA, f2, f1, q, qinv, self.log_n)
         if self._resolved_backend() == "mxu":
-            from . import mxu_ntt
-            g = self._mxu().group(idx)
-            q, qinv, _, _, _, _, _ = self.tabs(idx)
-            return mxu_ntt._mxu_fwd(a, g[0], g[1], g[2], g[3], g[4], g[10],
-                                    g[11], g[12], q, qinv, self.log_n,
-                                    self.log_n - 8)
+            return self._mxu_transform(a, idx, inverse=False)
         q, qinv, _, _, psi, _, _ = self.tabs(idx)
         return _ntt_fwd(a, psi, q, qinv, self.log_n)
 
@@ -233,14 +235,44 @@ class NttContext:
             return _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv,
                                  self.log_n)
         if self._resolved_backend() == "mxu":
-            from . import mxu_ntt
-            g = self._mxu().group(idx)
-            q, qinv, _, _, _, _, _ = self.tabs(idx)
-            return mxu_ntt._mxu_inv(a, g[5], g[6], g[7], g[8], g[9], g[10],
-                                    g[11], g[12], q, qinv, self.log_n,
-                                    self.log_n - 8)
+            return self._mxu_transform(a, idx, inverse=True)
         q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
         return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)
+
+    def _mxu_transform(self, a: jnp.ndarray, idx: tuple[int, ...],
+                       inverse: bool) -> jnp.ndarray:
+        """Four-step MXU transform, optionally partitioned into byte-width
+        buckets (OPTCONV_MXU_NB=auto) so narrow limbs use fewer int8
+        planes.  Bit-identical across policies."""
+        from . import mxu_ntt
+        tabs = self._mxu()
+        if self._mxu_nb == "auto":
+            parts = tabs.buckets(idx)
+        else:
+            parts = [(tuple(range(len(idx))), 8)]
+
+        def one(sub, sub_idx, nb):
+            g = tabs.group(sub_idx, nb)
+            q, qinv, _, _, _, _, _ = self.tabs(sub_idx)
+            if inverse:
+                return mxu_ntt._mxu_inv(sub, g[5], g[6], g[7], g[8], g[9],
+                                        g[10], g[11], g[12], q, qinv,
+                                        self.log_n, self.log_n - 8)
+            return mxu_ntt._mxu_fwd(sub, g[0], g[1], g[2], g[3], g[4],
+                                    g[10], g[11], g[12], q, qinv,
+                                    self.log_n, self.log_n - 8)
+
+        if len(parts) == 1:
+            return one(a, idx, parts[0][1])
+        outs = []
+        order: list[int] = []
+        for pos, nb in parts:
+            sub = jnp.take(a, jnp.asarray(np.array(pos)), axis=-2)
+            outs.append(one(sub, tuple(idx[p] for p in pos), nb))
+            order += list(pos)
+        inv = np.argsort(np.asarray(order))
+        return jnp.take(jnp.concatenate(outs, axis=-2),
+                        jnp.asarray(inv), axis=-2)
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,51 @@ def test_mxu_batched_subset():
     assert np.array_equal(ref, got)
 
 
+def test_adaptive_byte_planes_bit_exact():
+    """OPTCONV_MXU_NB=auto (width-bucketed int8 planes) must be
+    bit-identical to the uniform 8-plane path on a production-shaped
+    mixed chain (30/45/55/60-bit Q + 61-bit P limbs)."""
+    import os
+    log_n = 10
+    n = 1 << log_n
+    sizes = [60, 45, 30, 30, 30, 55, 55, 61, 61]     # mixed widths
+    mods = mm.gen_ntt_primes(log_n, sizes)
+    rng = np.random.default_rng(3)
+    old_b = os.environ.get("OPTCONV_NTT_BACKEND")
+    old_nb = os.environ.get("OPTCONV_MXU_NB")
+    os.environ["OPTCONV_NTT_BACKEND"] = "mxu"
+    try:
+        os.environ["OPTCONV_MXU_NB"] = "uniform"
+        ctx_u = nttmod.NttContext(mods, log_n)
+        os.environ["OPTCONV_MXU_NB"] = "auto"
+        ctx_a = nttmod.NttContext(mods, log_n)
+        # several limb subsets incl. multi-bucket and leftover-merge cases
+        for idx in [tuple(range(len(mods))),      # 3 buckets (8/7/4 + merge)
+                    (2, 3, 4),                    # single narrow bucket
+                    (0, 7, 8),                    # single wide bucket
+                    (1, 2, 3, 4, 5, 6),           # 45 folds into 55-bucket
+                    (5, 0, 2)]:                   # unsorted, <3 per class
+            a = np.stack([rng.integers(0, mods[i], size=(2, n),
+                                       dtype=np.uint64) for i in idx],
+                         axis=-2)                 # leading batch dim
+            aj = jnp.asarray(a)
+            buckets = ctx_a._mxu().buckets(idx)
+            assert sorted(p for pos, _ in buckets for p in pos) \
+                == list(range(len(idx)))
+            ref = np.asarray(ctx_u.ntt(aj, idx))
+            got = np.asarray(ctx_a.ntt(aj, idx))
+            assert np.array_equal(ref, got), idx
+            back = np.asarray(ctx_a.intt(jnp.asarray(got), idx))
+            assert np.array_equal(back, a), idx
+    finally:
+        for k, v in (("OPTCONV_NTT_BACKEND", old_b),
+                     ("OPTCONV_MXU_NB", old_nb)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def test_backend_selection_through_context():
     """NttContext dispatch: forcing 'mxu' must equal the 'xla' default."""
     import os
