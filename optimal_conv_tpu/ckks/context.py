@@ -369,20 +369,20 @@ class CkksContext:
 
         return core
 
+    def _ks_f(self, level: int):
+        dec = self._build_decompose(level)
+        core = self._ks_core_builder(level)
+
+        def f(c1, d0, d1):
+            return core(dec(c1), d0, d1)
+
+        return f
+
     def keyswitch(self, c1: jnp.ndarray, level: int, swk: SwitchingKey):
         assert swk.level == level
-
-        def builder():
-            dec = self._build_decompose(level)
-            core = self._ks_core_builder(level)
-
-            def f(c1, d0, d1):
-                return core(dec(c1), d0, d1)
-
-            return f
-
-        return self._jitted(("ks", level), builder)(c1, swk.d0,
-                                            self.swk_d1(swk))
+        return self._jitted(("ks", level),
+                            lambda: self._ks_f(level))(c1, swk.d0,
+                                                       self.swk_d1(swk))
 
     # ------------------------------------------------------------------
     # evaluator: arithmetic
@@ -464,25 +464,24 @@ class CkksContext:
             raise NotImplementedError("degree-2 ciphertexts are always relinearized")
         lvl = a.level
         rlk = self.relin_key(lvl)
-
-        def builder():
-            q, qinv, r2, _, _, _, _ = self._qtabs(lvl)
-            dec = self._build_decompose(lvl)
-            core = self._ks_core_builder(lvl)
-
-            def f(a0, a1, b0, b1, d0k, d1k):
-                d0 = mm.mul_mod(a0, b0, q, qinv, r2)
-                d1 = mm.add_mod(mm.mul_mod(a0, b1, q, qinv, r2),
-                                mm.mul_mod(a1, b0, q, qinv, r2), q)
-                d2 = mm.mul_mod(a1, b1, q, qinv, r2)
-                ks0, ks1 = core(dec(d2), d0k, d1k)
-                return mm.add_mod(d0, ks0, q), mm.add_mod(d1, ks1, q)
-
-            return f
-
-        c0, c1 = self._jitted(("mulct", lvl), builder)(
+        c0, c1 = self._jitted(("mulct", lvl), lambda: self._mulct_f(lvl))(
             a.c0, a.c1, b.c0, b.c1, rlk.d0, self.swk_d1(rlk))
         return Ciphertext(c0, c1, level=lvl, scale=a.scale * b.scale)
+
+    def _mulct_f(self, lvl: int):
+        q, qinv, r2, _, _, _, _ = self._qtabs(lvl)
+        dec = self._build_decompose(lvl)
+        core = self._ks_core_builder(lvl)
+
+        def f(a0, a1, b0, b1, d0k, d1k):
+            d0 = mm.mul_mod(a0, b0, q, qinv, r2)
+            d1 = mm.add_mod(mm.mul_mod(a0, b1, q, qinv, r2),
+                            mm.mul_mod(a1, b0, q, qinv, r2), q)
+            d2 = mm.mul_mod(a1, b1, q, qinv, r2)
+            ks0, ks1 = core(dec(d2), d0k, d1k)
+            return mm.add_mod(d0, ks0, q), mm.add_mod(d1, ks1, q)
+
+        return f
 
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.mul_ct(a, a)
@@ -497,32 +496,34 @@ class CkksContext:
         lvl = a.level
         assert lvl >= 1
         q_top = p.q_moduli[lvl]
-
-        def builder():
-            idx = p.q_idx(lvl)
-            sub_idx = idx[:-1]
-            q, qinv, _, r1, _, _, _ = p.ntt.tabs(sub_idx)
-            half = jnp.uint64(q_top // 2)
-            qtop_mod = jnp.asarray(np.array(
-                [q_top % qi for qi in p.q_moduli[:lvl]], dtype=np.uint64)[:, None])
-            qinv_last = p.qlast_inv_mont(lvl)
-            ntt = p.ntt
-
-            def dive(c):
-                t = ntt.intt(c[lvl:], (idx[-1],))        # [1, N] coeff
-                red = mm.mont_mul(t, r1, q, qinv)        # t mod q_i, [lvl, N]
-                red = jnp.where(t > half, mm.sub_mod(red, qtop_mod, q), red)
-                red_ntt = ntt.ntt(red, sub_idx)
-                return mm.mont_mul(mm.sub_mod(c[:lvl], red_ntt, q), qinv_last,
-                                   q, qinv)
-
-            def f(c0, c1):
-                return dive(c0), dive(c1)
-
-            return f
-
-        c0, c1 = self._jitted(("rescale", lvl), builder)(a.c0, a.c1)
+        c0, c1 = self._jitted(("rescale", lvl),
+                              lambda: self._rescale_f(lvl))(a.c0, a.c1)
         return Ciphertext(c0, c1, level=lvl - 1, scale=a.scale / q_top)
+
+    def _rescale_f(self, lvl: int):
+        p = self.params
+        q_top = p.q_moduli[lvl]
+        idx = p.q_idx(lvl)
+        sub_idx = idx[:-1]
+        q, qinv, _, r1, _, _, _ = p.ntt.tabs(sub_idx)
+        half = jnp.uint64(q_top // 2)
+        qtop_mod = jnp.asarray(np.array(
+            [q_top % qi for qi in p.q_moduli[:lvl]], dtype=np.uint64)[:, None])
+        qinv_last = p.qlast_inv_mont(lvl)
+        ntt = p.ntt
+
+        def dive(c):
+            t = ntt.intt(c[lvl:], (idx[-1],))        # [1, N] coeff
+            red = mm.mont_mul(t, r1, q, qinv)        # t mod q_i, [lvl, N]
+            red = jnp.where(t > half, mm.sub_mod(red, qtop_mod, q), red)
+            red_ntt = ntt.ntt(red, sub_idx)
+            return mm.mont_mul(mm.sub_mod(c[:lvl], red_ntt, q), qinv_last,
+                               q, qinv)
+
+        def f(c0, c1):
+            return dive(c0), dive(c1)
+
+        return f
 
     def drop_level(self, a: Ciphertext, levels: int) -> Ciphertext:
         if levels <= 0:
@@ -560,23 +561,22 @@ class CkksContext:
         lvl = a.level
         swk = self.galois_key(g, lvl)
         perm = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
-
-        def builder():
-            q = self._qtabs(lvl)[0]
-            dec = self._build_decompose(lvl)
-            core = self._ks_core_builder(lvl)
-
-            def f(c0, c1, perm, d0, d1):
-                c0p = nttmod.apply_galois_ntt(c0, perm)
-                c1p = nttmod.apply_galois_ntt(c1, perm)
-                ks0, ks1 = core(dec(c1p), d0, d1)
-                return mm.add_mod(c0p, ks0, q), ks1
-
-            return f
-
-        c0, c1 = self._jitted(("galois", lvl), builder)(
+        c0, c1 = self._jitted(("galois", lvl), lambda: self._galois_f(lvl))(
             a.c0, a.c1, perm, swk.d0, self.swk_d1(swk))
         return Ciphertext(c0, c1, level=lvl, scale=a.scale)
+
+    def _galois_f(self, lvl: int):
+        q = self._qtabs(lvl)[0]
+        dec = self._build_decompose(lvl)
+        core = self._ks_core_builder(lvl)
+
+        def f(c0, c1, perm, d0, d1):
+            c0p = nttmod.apply_galois_ntt(c0, perm)
+            c1p = nttmod.apply_galois_ntt(c1, perm)
+            ks0, ks1 = core(dec(c1p), d0, d1)
+            return mm.add_mod(c0p, ks0, q), ks1
+
+        return f
 
     def rotate(self, a: Ciphertext, k: int) -> Ciphertext:
         """Left-rotate slots by k (reference lRot / evaluator.Rotate)."""
@@ -594,21 +594,8 @@ class CkksContext:
         lvl = a.level
         dec = self._jitted(("dec", lvl), lambda: self._build_decompose(lvl))
         digits = dec(a.c1)
-
-        def builder():
-            q = self._qtabs(lvl)[0]
-            qp_q = p.ntt.tabs(p.qp_idx(lvl))[0]
-            core = self._ks_core_builder(lvl)
-
-            def f(c0, digs, src, flip, perm_ntt, d0, d1):
-                perm_digits = nttmod.apply_galois_coeff(digs, src, flip, qp_q)
-                c0p = nttmod.apply_galois_ntt(c0, perm_ntt)
-                ks0, ks1 = core(perm_digits, d0, d1)
-                return mm.add_mod(c0p, ks0, q), ks1
-
-            return f
-
-        froth = self._jitted(("hoistrot", lvl), builder)
+        froth = self._jitted(("hoistrot", lvl),
+                             lambda: self._hoistrot_f(lvl))
         out = {}
         for k in rots:
             if k % p.slots == 0:
@@ -621,6 +608,70 @@ class CkksContext:
             c0, c1 = froth(a.c0, digits, jnp.asarray(src), jnp.asarray(flip),
                            perm_ntt, swk.d0, self.swk_d1(swk))
             out[k] = Ciphertext(c0, c1, level=lvl, scale=a.scale)
+        return out
+
+    def _hoistrot_f(self, lvl: int):
+        p = self.params
+        q = self._qtabs(lvl)[0]
+        qp_q = p.ntt.tabs(p.qp_idx(lvl))[0]
+        core = self._ks_core_builder(lvl)
+
+        def f(c0, digs, src, flip, perm_ntt, d0, d1):
+            perm_digits = nttmod.apply_galois_coeff(digs, src, flip, qp_q)
+            c0p = nttmod.apply_galois_ntt(c0, perm_ntt)
+            ks0, ks1 = core(perm_digits, d0, d1)
+            return mm.add_mod(c0p, ks0, q), ks1
+
+        return f
+
+    # ------------------------------------------------------------------
+    # AOT cache warming (compile-only, zero device memory)
+    # ------------------------------------------------------------------
+
+    def aot_warm(self, level: int,
+                 ops: tuple[str, ...] = ("dec", "ks", "galois", "hoistrot",
+                                         "rescale", "mulct")) -> dict:
+        """Compile the per-level kernel family against ShapeDtypeStructs.
+
+        Lowering + compiling (never executing) populates the persistent
+        XLA compilation cache with the exact graphs the evaluator jits at
+        runtime, with ZERO device-memory footprint — so a side process
+        can pre-warm a cold model run without competing for HBM (the
+        reference has no analog; its keys alone are ~100 GB resident,
+        /root/reference/README.md:67).  Returns {op: compile_seconds}.
+        """
+        import time
+        import jax
+        p = self.params
+        n = p.n
+        nq = level + 1
+        nqp = nq + p.num_p
+        beta = len(p.digits(level))
+
+        def u64(*s):
+            return jax.ShapeDtypeStruct(s, jnp.uint64)
+
+        ct = u64(nq, n)
+        key = u64(beta, nqp, n)
+        dig = u64(beta, nqp, n)
+        i64 = jax.ShapeDtypeStruct((n,), jnp.int64)
+        flg = jax.ShapeDtypeStruct((n,), jnp.bool_)
+        specs = {
+            "dec": (self._build_decompose, (ct,)),
+            "ks": (self._ks_f, (ct, key, key)),
+            "galois": (self._galois_f, (ct, ct, i64, key, key)),
+            "hoistrot": (self._hoistrot_f, (ct, dig, i64, flg, i64, key, key)),
+            "rescale": (self._rescale_f, (ct, ct)),
+            "mulct": (self._mulct_f, (ct, ct, ct, ct, key, key)),
+        }
+        out = {}
+        for op in ops:
+            if op == "rescale" and level < 1:
+                continue
+            build, args = specs[op]
+            t0 = time.perf_counter()
+            jax.jit(build(level)).lower(*args).compile()
+            out[op] = time.perf_counter() - t0
         return out
 
     # ------------------------------------------------------------------

@@ -11,8 +11,14 @@ the main run reaches last).
 
     python scripts/prewarm_kernels.py [--logn 16] [--start-low]
     python scripts/prewarm_kernels.py --levels 16,15,14
+    python scripts/prewarm_kernels.py --aot --levels 33,32,31
 
 Values are garbage on purpose: compilation only depends on shapes.
+
+--aot compiles the kernel family via ShapeDtypeStruct lowering
+(CkksContext.aot_warm) WITHOUT allocating device memory or executing —
+safe to run next to a live model process on the same chip (compile
+requests overlap on the remote helper; there is no HBM contention).
 """
 
 import argparse
@@ -29,6 +35,8 @@ def main():
     ap.add_argument("--levels", type=str, default=None,
                     help="comma-separated level list (overrides order)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--aot", action="store_true",
+                    help="compile-only warm (no device memory/execution)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +59,15 @@ def main():
         levels = [int(x) for x in args.levels.split(",")]
 
     rng = np.random.default_rng(0)
+
+    if args.aot:
+        for lvl in levels:
+            t0 = time.perf_counter()
+            times = ctx.aot_warm(lvl)
+            detail = " ".join(f"{k}:{v:.0f}s" for k, v in times.items())
+            print(f"level {lvl} aot-warmed in "
+                  f"{time.perf_counter() - t0:.1f}s  ({detail})", flush=True)
+        return
 
     def dummy_ct(lvl):
         rows = np.stack([rng.integers(0, params.moduli[i], size=params.n,
