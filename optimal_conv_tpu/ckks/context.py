@@ -338,8 +338,14 @@ class CkksContext:
 
         return f
 
-    def _ks_core_builder(self, level: int):
-        """digits_coeff [beta, l+1+P, N] × key → (ks0, ks1) on Q_level."""
+    def _ks_core_builder(self, level: int, input_ntt: bool = False):
+        """digits [beta, l+1+P, N] × key → (ks0, ks1) on Q_level.
+
+        input_ntt=False: digits arrive coefficient-domain (the plain
+        keyswitch path) and are NTT'd here.  input_ntt=True: digits are
+        already NTT-domain (the hoisted-rotation path, where the beta
+        digit NTTs are paid ONCE per ciphertext, not once per rotation —
+        reference RotateHoisted semantics, /root/reference/conv.go:133)."""
         p = self.params
         qp = p.qp_idx(level)
         idx = p.q_idx(level)
@@ -357,8 +363,8 @@ class CkksContext:
             diff = mm.sub_mod(acc[:nq], ntt.ntt(ext, idx), qq)
             return mm.mont_mul(diff, pinv, qq, qqinv)
 
-        def core(ext_coeff, d0, d1):
-            ext_ntt = ntt.ntt(ext_coeff, qp)
+        def core(ext_in, d0, d1):
+            ext_ntt = ext_in if input_ntt else ntt.ntt(ext_in, qp)
             t0 = mm.mont_mul(ext_ntt, d0, q, qinv)
             t1 = mm.mont_mul(ext_ntt, d1, q, qinv)
             acc0, acc1 = t0[0], t1[0]
@@ -592,8 +598,8 @@ class CkksContext:
         /root/reference/conv.go:133)."""
         p = self.params
         lvl = a.level
-        dec = self._jitted(("dec", lvl), lambda: self._build_decompose(lvl))
-        digits = dec(a.c1)
+        dec = self._jitted(("decntt", lvl), lambda: self._dec_ntt_f(lvl))
+        digits_ntt = dec(a.c1)
         froth = self._jitted(("hoistrot", lvl),
                              lambda: self._hoistrot_f(lvl))
         out = {}
@@ -603,21 +609,36 @@ class CkksContext:
                 continue
             g = nttmod.rot_to_galois(k, p.log_n)
             swk = self.galois_key(g, lvl)
-            src, flip = nttmod.galois_perm_coeff(p.log_n, g)
             perm_ntt = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
-            c0, c1 = froth(a.c0, digits, jnp.asarray(src), jnp.asarray(flip),
-                           perm_ntt, swk.d0, self.swk_d1(swk))
+            c0, c1 = froth(a.c0, digits_ntt, perm_ntt,
+                           swk.d0, self.swk_d1(swk))
             out[k] = Ciphertext(c0, c1, level=lvl, scale=a.scale)
         return out
 
-    def _hoistrot_f(self, lvl: int):
-        p = self.params
-        q = self._qtabs(lvl)[0]
-        qp_q = p.ntt.tabs(p.qp_idx(lvl))[0]
-        core = self._ks_core_builder(lvl)
+    def _dec_ntt_f(self, lvl: int):
+        """c1 [l+1,N] NTT → decomposed digits in NTT form [beta, l+1+P, N].
 
-        def f(c0, digs, src, flip, perm_ntt, d0, d1):
-            perm_digits = nttmod.apply_galois_coeff(digs, src, flip, qp_q)
+        The beta digit NTTs are paid here, ONCE per hoisted ciphertext;
+        each rotation then only permutes the NTT-domain digits (a pure
+        gather — the negacyclic NTT evaluates at the odd roots, where
+        φ_g is a point permutation) and runs the key inner product.
+        φ_g commutes with digit decomposition (both are coefficient-wise
+        in RNS), so this is bit-identical to permute-then-NTT."""
+        p = self.params
+        dec = self._build_decompose(lvl)
+        qp = p.qp_idx(lvl)
+
+        def f(c1):
+            return p.ntt.ntt(dec(c1), qp)
+
+        return f
+
+    def _hoistrot_f(self, lvl: int):
+        q = self._qtabs(lvl)[0]
+        core = self._ks_core_builder(lvl, input_ntt=True)
+
+        def f(c0, digs_ntt, perm_ntt, d0, d1):
+            perm_digits = nttmod.apply_galois_ntt(digs_ntt, perm_ntt)
             c0p = nttmod.apply_galois_ntt(c0, perm_ntt)
             ks0, ks1 = core(perm_digits, d0, d1)
             return mm.add_mod(c0p, ks0, q), ks1
@@ -629,7 +650,7 @@ class CkksContext:
     # ------------------------------------------------------------------
 
     def aot_warm(self, level: int,
-                 ops: tuple[str, ...] = ("dec", "ks", "galois", "hoistrot",
+                 ops: tuple[str, ...] = ("decntt", "ks", "galois", "hoistrot",
                                          "rescale", "mulct")) -> dict:
         """Compile the per-level kernel family against ShapeDtypeStructs.
 
@@ -655,12 +676,12 @@ class CkksContext:
         key = u64(beta, nqp, n)
         dig = u64(beta, nqp, n)
         i64 = jax.ShapeDtypeStruct((n,), jnp.int64)
-        flg = jax.ShapeDtypeStruct((n,), jnp.bool_)
         specs = {
             "dec": (self._build_decompose, (ct,)),
+            "decntt": (self._dec_ntt_f, (ct,)),
             "ks": (self._ks_f, (ct, key, key)),
             "galois": (self._galois_f, (ct, ct, i64, key, key)),
-            "hoistrot": (self._hoistrot_f, (ct, dig, i64, flg, i64, key, key)),
+            "hoistrot": (self._hoistrot_f, (ct, dig, i64, key, key)),
             "rescale": (self._rescale_f, (ct, ct)),
             "mulct": (self._mulct_f, (ct, ct, ct, ct, key, key)),
         }
