@@ -98,9 +98,13 @@ class LinearTransform:
         # pre-stack plaintexts per giant for the fused inner sum; the
         # per-pt objects are NOT retained — at logN=16 a bootstrapper
         # family holds ~8.6 GiB of DFT plaintexts, so a second resident
-        # copy would blow the 16 GB HBM by itself
+        # copy would blow the 16 GB HBM by itself.  `sel` indexes each
+        # giant's baby subset into the ONE stacked rotation tensor built
+        # per apply (stacking per giant cost a ~200 MB concat each).
+        bidx = {r: i for i, r in enumerate(self.babies)}
         self.stacked = [
-            (g, sorted(terms), jnp.stack([terms[r].poly for r in sorted(terms)]))
+            (g, np.array([bidx[r] for r in sorted(terms)], dtype=np.int32),
+             jnp.stack([terms[r].poly for r in sorted(terms)]))
             for g, terms in sorted(plan.items())]
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
@@ -111,11 +115,11 @@ class LinearTransform:
         rots = ctx.rotate_hoisted(ct, self.babies)
         inner_f = ctx._jitted(("lt_inner", self.level),
                               lambda: _build_inner(ctx, self.level))
+        c0all = jnp.stack([rots[r].c0 for r in self.babies])
+        c1all = jnp.stack([rots[r].c1 for r in self.babies])
         out = None
-        for g, rs, pts in self.stacked:
-            c0s = jnp.stack([rots[r].c0 for r in rs])
-            c1s = jnp.stack([rots[r].c1 for r in rs])
-            i0, i1 = inner_f(c0s, c1s, pts)
+        for g, sel, pts in self.stacked:
+            i0, i1 = inner_f(c0all, c1all, jnp.asarray(sel), pts)
             inner = Ciphertext(i0, i1, level=self.level,
                                scale=ct.scale * self.pt_scale)
             if g != 0:
@@ -127,7 +131,9 @@ class LinearTransform:
 def _build_inner(ctx: CkksContext, level: int):
     q, qinv, _, _, _, _, _ = ctx.params.ntt.tabs(ctx.params.q_idx(level))
 
-    def f(c0s, c1s, pts):
+    def f(c0all, c1all, sel, pts):
+        c0s = jnp.take(c0all, sel, axis=0)
+        c1s = jnp.take(c1all, sel, axis=0)
         t0 = mm.mont_mul(c0s, pts, q, qinv)
         t1 = mm.mont_mul(c1s, pts, q, qinv)
         a0, a1 = t0[0], t1[0]
