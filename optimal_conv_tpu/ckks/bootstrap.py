@@ -117,15 +117,32 @@ class LinearTransform:
                               lambda: _build_inner(ctx, self.level))
         c0all = jnp.stack([rots[r].c0 for r in self.babies])
         c1all = jnp.stack([rots[r].c1 for r in self.babies])
-        out = None
+        p = ctx.params
+        scale = ct.scale * self.pt_scale
+        nq, nqp = self.level + 1, self.level + 1 + p.num_p
+        # giant steps with LAZY mod-down: each giant's rotation keyswitch
+        # folds into QP-basis running sums; divide by P once at the end
+        g0 = None
+        aq0 = ap0 = ap1 = None
         for g, sel, pts in self.stacked:
             i0, i1 = inner_f(c0all, c1all, jnp.asarray(sel), pts)
-            inner = Ciphertext(i0, i1, level=self.level,
-                               scale=ct.scale * self.pt_scale)
-            if g != 0:
-                inner = ctx.rotate(inner, g)
-            out = inner if out is None else ctx.add(out, inner)
-        return ctx.rescale(out)
+            if g == 0:
+                g0 = (i0, i1)
+                continue
+            if aq0 is None:
+                aq0 = jnp.zeros((nq, p.n), jnp.uint64)
+                ap0 = jnp.zeros((nqp, p.n), jnp.uint64)
+                ap1 = jnp.zeros((nqp, p.n), jnp.uint64)
+            gg = nttmod.rot_to_galois(g, p.log_n)
+            aq0, ap0, ap1 = ctx.galois_acc(i0, i1, gg, self.level,
+                                           aq0, ap0, ap1)
+        if aq0 is None:                      # single giant at shift 0
+            o0, o1 = g0
+        else:
+            z = jnp.zeros((nq, p.n), jnp.uint64)
+            g0c0, g0c1 = g0 if g0 is not None else (z, z)
+            o0, o1 = ctx.ks_finish(g0c0, g0c1, aq0, ap0, ap1, self.level)
+        return ctx.rescale(Ciphertext(o0, o1, level=self.level, scale=scale))
 
 
 def _build_inner(ctx: CkksContext, level: int):

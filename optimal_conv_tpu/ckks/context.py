@@ -338,19 +338,11 @@ class CkksContext:
 
         return f
 
-    def _ks_core_builder(self, level: int, input_ntt: bool = False):
-        """digits [beta, l+1+P, N] × key → (ks0, ks1) on Q_level.
-
-        input_ntt=False: digits arrive coefficient-domain (the plain
-        keyswitch path) and are NTT'd here.  input_ntt=True: digits are
-        already NTT-domain (the hoisted-rotation path, where the beta
-        digit NTTs are paid ONCE per ciphertext, not once per rotation —
-        reference RotateHoisted semantics, /root/reference/conv.go:133)."""
+    def _mod_down_builder(self, level: int):
+        """[l+1+P, N] QP accumulator → [l+1, N] on Q_level (÷P, rounded)."""
         p = self.params
-        qp = p.qp_idx(level)
         idx = p.q_idx(level)
         nq = level + 1
-        q, qinv, _, _, _, _, _ = p.ntt.tabs(qp)
         qq, qqinv, _, _, _, _, _ = p.ntt.tabs(idx)
         pidx = p.p_idx()
         ext_p = p.extender(pidx, idx)
@@ -363,6 +355,26 @@ class CkksContext:
             diff = mm.sub_mod(acc[:nq], ntt.ntt(ext, idx), qq)
             return mm.mont_mul(diff, pinv, qq, qqinv)
 
+        return mod_down
+
+    def _ks_core_builder(self, level: int, input_ntt: bool = False,
+                         lazy: bool = False):
+        """digits [beta, l+1+P, N] × key → (ks0, ks1) on Q_level.
+
+        input_ntt=False: digits arrive coefficient-domain (the plain
+        keyswitch path) and are NTT'd here.  input_ntt=True: digits are
+        already NTT-domain (the hoisted-rotation path, where the beta
+        digit NTTs are paid ONCE per ciphertext, not once per rotation —
+        reference RotateHoisted semantics, /root/reference/conv.go:133).
+        lazy=True: skip the final mod-down and return the [l+1+P, N]
+        QP-basis accumulators — callers summing several keyswitch
+        results (BSGS giant steps) divide by P ONCE at the end."""
+        p = self.params
+        qp = p.qp_idx(level)
+        q, qinv, _, _, _, _, _ = p.ntt.tabs(qp)
+        ntt = p.ntt
+        mod_down = None if lazy else self._mod_down_builder(level)
+
         def core(ext_in, d0, d1):
             ext_ntt = ext_in if input_ntt else ntt.ntt(ext_in, qp)
             t0 = mm.mont_mul(ext_ntt, d0, q, qinv)
@@ -371,6 +383,8 @@ class CkksContext:
             for d in range(1, d0.shape[0]):
                 acc0 = mm.add_mod(acc0, t0[d], q)
                 acc1 = mm.add_mod(acc1, t1[d], q)
+            if lazy:
+                return acc0, acc1
             return mod_down(acc0), mod_down(acc1)
 
         return core
@@ -584,6 +598,53 @@ class CkksContext:
 
         return f
 
+    def _galois_qp_acc_f(self, lvl: int):
+        """φ_g + keyswitch with LAZY mod-down, folded into running sums.
+
+        (aq0 on Q, ap0/ap1 on QP) ← (aq0 + φc0, ap0 + acc0, ap1 + acc1).
+        Used by the BSGS giant loop: G giant rotations then cost ONE
+        mod-down (in _ks_finish_f) instead of 2G — and the single
+        deferred basis-extension rounds once instead of G times."""
+        p = self.params
+        q = self._qtabs(lvl)[0]
+        qp_q = p.ntt.tabs(p.qp_idx(lvl))[0]
+        dec = self._build_decompose(lvl)
+        core = self._ks_core_builder(lvl, lazy=True)
+
+        def f(c0, c1, perm, d0, d1, aq0, ap0, ap1):
+            c0p = nttmod.apply_galois_ntt(c0, perm)
+            c1p = nttmod.apply_galois_ntt(c1, perm)
+            a0, a1 = core(dec(c1p), d0, d1)
+            return (mm.add_mod(aq0, c0p, q),
+                    mm.add_mod(ap0, a0, qp_q),
+                    mm.add_mod(ap1, a1, qp_q))
+
+        return f
+
+    def _ks_finish_f(self, lvl: int):
+        """(g0c0, g0c1, aq0, ap0, ap1) → ciphertext polys on Q_level."""
+        q = self._qtabs(lvl)[0]
+        md = self._mod_down_builder(lvl)
+
+        def f(g0c0, g0c1, aq0, ap0, ap1):
+            o0 = mm.add_mod(mm.add_mod(aq0, md(ap0), q), g0c0, q)
+            o1 = mm.add_mod(md(ap1), g0c1, q)
+            return o0, o1
+
+        return f
+
+    def galois_acc(self, c0, c1, g: int, lvl: int, aq0, ap0, ap1):
+        """Accumulate φ_g(ct)'s keyswitch into lazy QP sums (one kernel)."""
+        p = self.params
+        swk = self.galois_key(g % (2 * p.n), lvl)
+        perm = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g % (2 * p.n)))
+        f = self._jitted(("galqpacc", lvl), lambda: self._galois_qp_acc_f(lvl))
+        return f(c0, c1, perm, swk.d0, self.swk_d1(swk), aq0, ap0, ap1)
+
+    def ks_finish(self, g0c0, g0c1, aq0, ap0, ap1, lvl: int):
+        f = self._jitted(("ksfin", lvl), lambda: self._ks_finish_f(lvl))
+        return f(g0c0, g0c1, aq0, ap0, ap1)
+
     def rotate(self, a: Ciphertext, k: int) -> Ciphertext:
         """Left-rotate slots by k (reference lRot / evaluator.Rotate)."""
         if k % self.params.slots == 0:
@@ -651,6 +712,7 @@ class CkksContext:
 
     def aot_warm(self, level: int,
                  ops: tuple[str, ...] = ("decntt", "ks", "galois", "hoistrot",
+                                         "galqpacc", "ksfin",
                                          "rescale", "mulct")) -> dict:
         """Compile the per-level kernel family against ShapeDtypeStructs.
 
@@ -682,6 +744,10 @@ class CkksContext:
             "ks": (self._ks_f, (ct, key, key)),
             "galois": (self._galois_f, (ct, ct, i64, key, key)),
             "hoistrot": (self._hoistrot_f, (ct, dig, i64, key, key)),
+            "galqpacc": (self._galois_qp_acc_f,
+                         (ct, ct, i64, key, key, ct, u64(nqp, n), u64(nqp, n))),
+            "ksfin": (self._ks_finish_f,
+                      (ct, ct, ct, u64(nqp, n), u64(nqp, n))),
             "rescale": (self._rescale_f, (ct, ct)),
             "mulct": (self._mulct_f, (ct, ct, ct, ct, key, key)),
         }
