@@ -5,9 +5,15 @@ process (newContext) and the only checkpoints are per-sample logits CSVs
 (SURVEY.md §5 checkpoint/resume).  Here keys and ciphertexts round-trip
 through npz so a 100 GB-class key set can be generated once and reloaded
 (or staged per level from host memory).
+
+Switching keys live in the context's LRU ``_KeyCache`` and may be
+seed-compressed (``d1 is None``; the uniform half regenerates from the
+stored per-key seed) — both forms round-trip.
 """
 
 from __future__ import annotations
+
+import ast
 
 import numpy as np
 import jax.numpy as jnp
@@ -29,14 +35,19 @@ def load_ciphertext(path: str) -> Ciphertext:
 
 
 def save_keys(path: str, ctx: CkksContext) -> None:
-    """Persist the secret key + every cached switching key."""
+    """Persist the secret key + every cached switching key (compressed
+    keys store d0 + seed only — d1_cache is never persisted)."""
     blobs = {"sk": ctx._sk_ints}
     index = []
-    for i, (key, swk) in enumerate(ctx._swk_cache.items()):
+    for i, (key, swk) in enumerate(ctx._swk_cache.d.items()):
         blobs[f"d0_{i}"] = np.asarray(swk.d0)
-        blobs[f"d1_{i}"] = np.asarray(swk.d1)
-        index.append((repr(key), swk.level))
-    blobs["index"] = np.array(index, dtype=object)
+        if swk.d1 is not None:
+            blobs[f"d1_{i}"] = np.asarray(swk.d1)
+        index.append((repr(key), int(swk.level),
+                      -1 if swk.seed is None else int(swk.seed),
+                      swk.d1 is not None))
+    blobs["index"] = np.array(
+        [(k, str(l), str(s), str(h)) for k, l, s, h in index], dtype=object)
     np.savez_compressed(path, **blobs)
 
 
@@ -46,8 +57,12 @@ def load_keys(path: str, ctx: CkksContext) -> int:
     z = np.load(path, allow_pickle=True)
     assert np.array_equal(z["sk"], ctx._sk_ints), "secret key mismatch"
     index = z["index"]
-    for i, (key_repr, level) in enumerate(index):
-        key = eval(key_repr)  # keys are tuples of str/int built by us
-        ctx._swk_cache[key] = SwitchingKey(
-            jnp.asarray(z[f"d0_{i}"]), jnp.asarray(z[f"d1_{i}"]), int(level))
+    for i, (key_repr, level, seed, has_d1) in enumerate(index):
+        key = ast.literal_eval(key_repr)   # tuples of str/int built by us
+        seed = int(seed)
+        swk = SwitchingKey(
+            jnp.asarray(z[f"d0_{i}"]),
+            jnp.asarray(z[f"d1_{i}"]) if has_d1 == "True" else None,
+            int(level), seed=None if seed < 0 else seed)
+        ctx._swk_cache.put(key, swk)
     return len(index)

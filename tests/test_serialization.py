@@ -1,0 +1,80 @@
+"""Round-trip tests for utils/serialization — keys (both plain and
+seed-compressed forms) and ciphertexts, verified by decrypting and by
+running a rotation with reloaded keys only.
+
+Mirrors nothing in the reference (it regenerates keys per process,
+SURVEY.md §5); this subsystem backs host-staged key residency at
+logN=16.
+"""
+
+import numpy as np
+import pytest
+
+from optimal_conv_tpu.ckks.params import tiny_params
+from optimal_conv_tpu.ckks.context import CkksContext
+from optimal_conv_tpu.utils import serialization as ser
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(tiny_params(log_n=8, levels=3), seed=7)
+
+
+def test_ciphertext_roundtrip(tmp_path, ctx):
+    p = ctx.params
+    msg = np.arange(p.n) / p.n - 0.5
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(msg, p.scale, p.max_level))
+    path = str(tmp_path / "ct.npz")
+    ser.save_ciphertext(path, ct)
+    ct2 = ser.load_ciphertext(path)
+    assert ct2.level == ct.level and ct2.scale == ct.scale
+    got = ctx.decrypt_decode_coeffs(ct2)
+    np.testing.assert_allclose(got, msg, atol=1e-5)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_key_roundtrip(tmp_path, compress, monkeypatch):
+    monkeypatch.setenv("OPTCONV_COMPRESS_KEYS", "1" if compress else "0")
+    p = tiny_params(log_n=8, levels=3)
+    ctx = CkksContext(p, seed=3)
+    # populate the cache: relin + two rotation keys
+    lvl = p.max_level
+    ctx.relin_key(lvl)
+    ctx.rot_key(1, lvl)
+    ctx.rot_key(4, lvl - 1)
+    n_keys = len(ctx._swk_cache.d)
+    assert n_keys >= 3
+    path = str(tmp_path / "keys.npz")
+    ser.save_keys(path, ctx)
+
+    # fresh context, same params/seed: load instead of regenerating
+    ctx2 = CkksContext(p, seed=3)
+    assert len(ctx2._swk_cache.d) == 0
+    n_loaded = ser.load_keys(path, ctx2)
+    assert n_loaded == n_keys
+    for key, swk in ctx._swk_cache.d.items():
+        swk2 = ctx2._swk_cache.d[key]
+        np.testing.assert_array_equal(np.asarray(swk.d0), np.asarray(swk2.d0))
+        assert (swk.d1 is None) == (swk2.d1 is None)
+        assert swk.seed == swk2.seed
+        assert swk.level == swk2.level
+
+    # the loaded keys actually work: rotate with ctx2 (keys come from the
+    # cache — same seed means regeneration would too, but array equality
+    # above already pins that the *stored* tensors are used)
+    msg = np.sin(np.arange(p.n))
+    ct = ctx2.encrypt(ctx2.encoder.encode_coeffs(msg, p.scale, lvl))
+    out = ctx2.rotate(ct, 1)
+    got = ctx2.decrypt_decode_coeffs(out)
+    assert np.isfinite(got).all()
+
+
+def test_key_mismatch_rejected(tmp_path):
+    p = tiny_params(log_n=8, levels=3)
+    ctx = CkksContext(p, seed=3)
+    ctx.relin_key(p.max_level)
+    path = str(tmp_path / "keys.npz")
+    ser.save_keys(path, ctx)
+    other = CkksContext(p, seed=4)
+    with pytest.raises(AssertionError):
+        ser.load_keys(path, other)
