@@ -32,7 +32,7 @@ from ..core import modmath as mm
 from . import dft
 from .context import CkksContext
 from .types import Ciphertext, Plaintext
-from .polyeval import evaluate_chebyshev
+from .polyeval import evaluate_chebyshev, _depth_of as _depth_of_deg
 
 import jax.numpy as jnp
 
@@ -76,11 +76,20 @@ class LinearTransform:
     """
 
     def __init__(self, ctx: CkksContext, diags: dict[int, np.ndarray],
-                 level: int, pt_scale: float | None = None):
+                 level: int, pt_scale: float | None = None,
+                 rescale: bool = True):
+        """rescale=False: leave the product at `level` with scale
+        ct.scale·pt_scale — the fork's StC packs TWO DFT matrices onto
+        one 60-bit level, each at scale 2^30
+        (ref_bootstrap_params.json[6].stc_scaling = [[Δ],[Δ,Δ]]): the
+        first applies un-rescaled, the second's rescale clears both."""
         self.ctx = ctx
         self.level = level
+        self.rescale = rescale
         p = ctx.params
         n = p.slots
+        if not diags:
+            raise ValueError("LinearTransform needs at least one diagonal")
         self.pt_scale = float(p.q_moduli[level]) if pt_scale is None else pt_scale
         keys = sorted(k % n for k in diags)
         self.bs = 1 << max((int(np.ceil(np.sqrt(len(keys)))) - 1).bit_length(), 0)
@@ -113,8 +122,6 @@ class LinearTransform:
         ctx = self.ctx
         assert ct.level == self.level, (ct.level, self.level)
         rots = ctx.rotate_hoisted(ct, self.babies)
-        inner_f = ctx._jitted(("lt_inner", self.level),
-                              lambda: _build_inner(ctx, self.level))
         c0all = jnp.stack([rots[r].c0 for r in self.babies])
         c1all = jnp.stack([rots[r].c1 for r in self.babies])
         p = ctx.params
@@ -124,7 +131,14 @@ class LinearTransform:
         # folds into QP-basis running sums; divide by P once at the end
         g0 = None
         aq0 = ap0 = ap1 = None
+        n_babies = len(self.babies)
         for g, sel, pts in self.stacked:
+            # identity selection (dense BSGS: every giant uses all
+            # babies) skips the gather of the stacked rotation tensor
+            ident = len(sel) == n_babies and np.array_equal(
+                sel, np.arange(n_babies))
+            inner_f = ctx._jitted(("lt_inner", self.level, ident),
+                                  lambda: _build_inner(ctx, self.level, ident))
             i0, i1 = inner_f(c0all, c1all, jnp.asarray(sel), pts)
             if g == 0:
                 g0 = (i0, i1)
@@ -142,15 +156,19 @@ class LinearTransform:
             z = jnp.zeros((nq, p.n), jnp.uint64)
             g0c0, g0c1 = g0 if g0 is not None else (z, z)
             o0, o1 = ctx.ks_finish(g0c0, g0c1, aq0, ap0, ap1, self.level)
-        return ctx.rescale(Ciphertext(o0, o1, level=self.level, scale=scale))
+        out = Ciphertext(o0, o1, level=self.level, scale=scale)
+        return ctx.rescale(out) if self.rescale else out
 
 
-def _build_inner(ctx: CkksContext, level: int):
+def _build_inner(ctx: CkksContext, level: int, identity: bool = False):
     q, qinv, _, _, _, _, _ = ctx.params.ntt.tabs(ctx.params.q_idx(level))
 
     def f(c0all, c1all, sel, pts):
-        c0s = jnp.take(c0all, sel, axis=0)
-        c1s = jnp.take(c1all, sel, axis=0)
+        if identity:
+            c0s, c1s = c0all, c1all
+        else:
+            c0s = jnp.take(c0all, sel, axis=0)
+            c1s = jnp.take(c1all, sel, axis=0)
         t0 = mm.mont_mul(c0s, pts, q, qinv)
         t1 = mm.mont_mul(c1s, pts, q, qinv)
         a0, a1 = t0[0], t1[0]
@@ -203,7 +221,17 @@ class SplitBootstrapper:
         # for the sparse fold), StoC levels
         n_ctos_levels = lay["ctos"][1] - lay["ctos"][0]
         n_stoc_levels = lay["stoc"][1] - lay["stoc"][0]
+        # stoc_groups > levels ⟹ the top StoC level carries two DFT
+        # matrices (fork chain: 3 matrices over 2 sixty-bit levels)
+        self.stoc_groups = lay.get("stoc_groups", n_stoc_levels)
         ctos_groups = n_ctos_levels - (1 if log_sparse > 0 else 0)
+        # EvalMod runs tight (depth(deg)+r levels, no slack rescale) iff
+        # the chain's evalmod region is sized for it — the ref chain's 8
+        # levels = depth(63)+2
+        n_mod = lay["evalmod"][1] - lay["evalmod"][0]
+        self.em_tight = (n_mod == _depth_of_deg(sin_deg) + double_angle)
+        assert n_mod >= _depth_of_deg(sin_deg) + double_angle, \
+            (n_mod, sin_deg, double_angle)
 
         # ---- CtoS groups (inverse DFT stages, bit-rev output) ----------
         enc_st = [dft.tile(s, reps)
@@ -260,11 +288,27 @@ class SplitBootstrapper:
             d1 = np.tile(np.concatenate([1j * np.ones(n_sub), np.ones(n_sub)]),
                          reps // 2)
             dec_st = [{0: d0, n_sub: d1}] + dec_st
-        s_groups = dft.group_stages(dec_st, n_stoc_levels, p.slots)
+        s_groups = dft.group_stages(dec_st, self.stoc_groups, p.slots)
         st_lvl = (lay["stoc"][1] - 1) if stoc_level is None else stoc_level
         self.stoc_lt: list[LinearTransform] = []
-        for gdiags in s_groups:
-            self.stoc_lt.append(LinearTransform(ctx, gdiags, st_lvl))
+        double_top = self.stoc_groups - (lay["stoc"][1] - lay["stoc"][0]) \
+            if stoc_level is None else 0
+        for gi, gdiags in enumerate(s_groups):
+            if gi < double_top:
+                # two matrices share the top level: first at √q without
+                # rescale, partner's rescale clears the product scale
+                sq = float(np.sqrt(p.q_moduli[st_lvl]))
+                self.stoc_lt.append(LinearTransform(ctx, gdiags, st_lvl,
+                                                    pt_scale=sq,
+                                                    rescale=False))
+                continue
+            if gi == double_top and double_top > 0:
+                sq = float(p.q_moduli[st_lvl]) / float(
+                    np.sqrt(p.q_moduli[st_lvl]))
+                self.stoc_lt.append(LinearTransform(ctx, gdiags, st_lvl,
+                                                    pt_scale=sq))
+            else:
+                self.stoc_lt.append(LinearTransform(ctx, gdiags, st_lvl))
             st_lvl -= 1
         self.post_stoc_level = st_lvl
 
@@ -308,7 +352,8 @@ class SplitBootstrapper:
         # back out per-double-angle scales so the final scale lands at
         # Δ·(q0/(2π·Δ0)) before the exact reinterpretation below
         r = self.double_angle
-        depth = _cheb_depth(len(self.sin_cheb) - 1)
+        depth = _cheb_depth(len(self.sin_cheb) - 1) - (1 if self.em_tight
+                                                       else 0)
         lc = ct.level - depth
         s_final = p.scale * self.q0 / (2 * np.pi * self.delta0)
         scales = [s_final]
@@ -316,7 +361,8 @@ class SplitBootstrapper:
             prev = np.sqrt(scales[-1] * p.q_moduli[lc - r + 1 + i])
             scales.append(prev)
         s_t = scales[-1]
-        c = evaluate_chebyshev(ctx, ct, self.sin_cheb, -1.0, 1.0, s_t)
+        c = evaluate_chebyshev(ctx, ct, self.sin_cheb, -1.0, 1.0, s_t,
+                               tight=self.em_tight)
         for i in range(r):
             sq = ctx.rescale(ctx.mul_ct(c, c))
             c = ctx.add_const(ctx.mul_scalar_int(sq, 2), -1.0)

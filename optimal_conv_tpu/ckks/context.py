@@ -144,14 +144,14 @@ class CkksContext:
         h = hashlib.sha256(repr((self._seed, tag)).encode()).digest()
         return int.from_bytes(h[:8], "little")
 
-    def _jitted(self, key, builder):
+    def _jitted(self, key, builder, donate_argnums=()):
         """Per-(name, level) compiled kernels; tables are captured as
         constants at trace time, key data (swk digits, permutations)
         stay runtime args so one compilation serves every key."""
         f = self._jit_cache.get(key)
         if f is None:
             import jax
-            f = jax.jit(builder())
+            f = jax.jit(builder(), donate_argnums=donate_argnums)
             self._jit_cache[key] = f
         return f
 
@@ -638,7 +638,11 @@ class CkksContext:
         p = self.params
         swk = self.galois_key(g % (2 * p.n), lvl)
         perm = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g % (2 * p.n)))
-        f = self._jitted(("galqpacc", lvl), lambda: self._galois_qp_acc_f(lvl))
+        # the accumulators are dead after each call — donating them lets
+        # XLA update the [nqp, N] running sums in place (~15 MB × 3 per
+        # giant at logN=16) instead of copying
+        f = self._jitted(("galqpacc", lvl), lambda: self._galois_qp_acc_f(lvl),
+                         donate_argnums=(5, 6, 7))
         return f(c0, c1, perm, swk.d0, self.swk_d1(swk), aq0, ap0, ap1)
 
     def ks_finish(self, g0c0, g0c1, aq0, ap0, ap1, lvl: int):
@@ -713,7 +717,8 @@ class CkksContext:
     def aot_warm(self, level: int,
                  ops: tuple[str, ...] = ("decntt", "ks", "galois", "hoistrot",
                                          "galqpacc", "ksfin",
-                                         "rescale", "mulct")) -> dict:
+                                         "rescale", "mulct"),
+                 lt_babies: tuple[int, ...] = ()) -> dict:
         """Compile the per-level kernel family against ShapeDtypeStructs.
 
         Lowering + compiling (never executing) populates the persistent
@@ -738,27 +743,42 @@ class CkksContext:
         key = u64(beta, nqp, n)
         dig = u64(beta, nqp, n)
         i64 = jax.ShapeDtypeStruct((n,), jnp.int64)
+        i32b = lambda nb: jax.ShapeDtypeStruct((nb,), jnp.int32)  # noqa: E731
+        # donate_argnums must match the runtime jit exactly — aliasing is
+        # part of the compiled executable, so a donation mismatch would
+        # miss the persistent cache
         specs = {
-            "dec": (self._build_decompose, (ct,)),
-            "decntt": (self._dec_ntt_f, (ct,)),
-            "ks": (self._ks_f, (ct, key, key)),
-            "galois": (self._galois_f, (ct, ct, i64, key, key)),
-            "hoistrot": (self._hoistrot_f, (ct, dig, i64, key, key)),
+            "dec": (self._build_decompose, (ct,), ()),
+            "decntt": (self._dec_ntt_f, (ct,), ()),
+            "ks": (self._ks_f, (ct, key, key), ()),
+            "galois": (self._galois_f, (ct, ct, i64, key, key), ()),
+            "hoistrot": (self._hoistrot_f, (ct, dig, i64, key, key), ()),
             "galqpacc": (self._galois_qp_acc_f,
-                         (ct, ct, i64, key, key, ct, u64(nqp, n), u64(nqp, n))),
+                         (ct, ct, i64, key, key, ct, u64(nqp, n), u64(nqp, n)),
+                         (5, 6, 7)),
             "ksfin": (self._ks_finish_f,
-                      (ct, ct, ct, u64(nqp, n), u64(nqp, n))),
-            "rescale": (self._rescale_f, (ct, ct)),
-            "mulct": (self._mulct_f, (ct, ct, ct, ct, key, key)),
+                      (ct, ct, ct, u64(nqp, n), u64(nqp, n)), ()),
+            "rescale": (self._rescale_f, (ct, ct), ()),
+            "mulct": (self._mulct_f, (ct, ct, ct, ct, key, key), ()),
         }
         out = {}
         for op in ops:
             if op == "rescale" and level < 1:
                 continue
-            build, args = specs[op]
+            build, args, don = specs[op]
             t0 = time.perf_counter()
-            jax.jit(build(level)).lower(*args).compile()
+            jax.jit(build(level), donate_argnums=don).lower(*args).compile()
             out[op] = time.perf_counter() - t0
+        # LinearTransform inner kernels: one per distinct baby count
+        # (the formerly-unwarmed dominant kernel — ADVICE r1); identity
+        # selection is the common dense-BSGS case
+        from .bootstrap import _build_inner
+        for nb in lt_babies:
+            t0 = time.perf_counter()
+            cta = u64(nb, nq, n)
+            jax.jit(_build_inner(self, level, True)).lower(
+                cta, cta, i32b(nb), cta).compile()
+            out[f"lt_inner{nb}"] = time.perf_counter() - t0
         return out
 
     # ------------------------------------------------------------------

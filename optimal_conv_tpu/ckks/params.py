@@ -47,6 +47,12 @@ class CkksParams:
     # non-bootstrappable parameter sets.  compare=False keeps the
     # dataclass hashable (needed by the lru_caches below).
     boot_layout: dict | None = field(default=None, compare=False)
+    # exact moduli (e.g. the reference fork's chains extracted from the
+    # test_run binary — ref_bootstrap_params.json).  When set they
+    # override the deterministic bit-size generation; logq/logp must
+    # still hold the matching bit lengths (they drive layout decisions).
+    q_explicit: tuple[int, ...] | None = None
+    p_explicit: tuple[int, ...] | None = None
 
     # ---- derived --------------------------------------------------------
 
@@ -72,11 +78,17 @@ class CkksParams:
 
     @functools.cached_property
     def q_moduli(self) -> list[int]:
+        if self.q_explicit is not None:
+            assert len(self.q_explicit) == len(self.logq)
+            return list(self.q_explicit)
         return mm.gen_ntt_primes(self.log_n, list(self.logq) + list(self.logp))[
             : len(self.logq)]
 
     @functools.cached_property
     def p_moduli(self) -> list[int]:
+        if self.p_explicit is not None:
+            assert len(self.p_explicit) == len(self.logp)
+            return list(self.p_explicit)
         return mm.gen_ntt_primes(self.log_n, list(self.logq) + list(self.logp))[
             len(self.logq):]
 
@@ -156,35 +168,57 @@ class CkksParams:
 # Presets
 # ---------------------------------------------------------------------------
 
-def boot_params(log_n: int = 16) -> CkksParams:
-    """Bootstrappable parameters mirroring the reference's envelope.
+def ref_fork_chain(index: int = 6) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Exact (Q, P) moduli of the test_lattigo fork's
+    DefaultBootstrapParams[index], extracted from the reference binary's
+    data section (scripts/extract_ref_moduli.py →
+    ref_bootstrap_params.json; validated against the binary's printed
+    logQP=1553/1582 and QCount=28 — /root/reference/main.go:85)."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__),
+                        "ref_bootstrap_params.json")
+    e = json.load(open(path))[index]
+    return tuple(e["q_chain"]), tuple(e["p"])
 
-    Reference: DefaultBootstrapParams[6] (logN=16, logQP≈1553, 28
-    levels, scale 2^30, h=192, σ=3.2 — /root/reference/main.go:85).
-    The exact moduli differ (our deterministic chain), the structure and
-    budget match; see module docstring for the level layout.
+
+def boot_params(log_n: int = 16) -> CkksParams:
+    """Bootstrappable parameters — the reference fork's EXACT chain.
+
+    DefaultBootstrapParams[6] (logN=16, logSlots=15, h=192, logQP=1553,
+    28 Q-limbs, scale 2^30, σ=3.2 — /root/reference/main.go:85),
+    moduli bit-identical to the Go binary's (see ref_fork_chain).  All
+    primes are ≡ 1 mod 2^17, so the same chain instantiates at any
+    log_n ≤ 16 (CI runs it at 12).
+
+    Level layout (bottom → top), matching the fork's section order
+    Residual ++ StC ++ ReLU_A ++ ReLU_B ++ Sine ++ CtS:
+        0      q0 2^55          conv output / bootstrap base
+        1      2^49             conv inputs & kernels (ECD_LV = 1)
+        2-3    2^60 ×2          StoC (3 DFT groups, top level holds 2)
+        4      2^42             post-ReLU repack masks (ext/keep)
+        5-15   2^30 ×11         minimax ReLU (tight deg 7∘7∘13 + mul)
+        16-23  2^55 ×8          EvalMod (tight deg-63 cosine + 2 dbl-angle)
+        24-27  2^53 ×4          CtoS (4 DFT groups; sparse: 3 + fold)
+        P      2^61 ×5          hybrid key-switch (alpha=5, beta≤6)
     """
-    n_stoc, n_relu, n_mod, n_ctos = 3, 14, 10, 4
-    # level-1 prime is 45b: conv's SetScale folds target·q1/(scale_in·scale_ker)
-    # into an integer constant (conv_then_pack, /root/reference/conv.go:528) —
-    # with a 30b prime that constant would round to 0.
-    logq = (60, 45) + (45,) * n_stoc + (45,) + (30,) * n_relu + (55,) * n_mod \
-        + (55,) * n_ctos
+    q, p = ref_fork_chain(6)
+    logq = tuple(round(np.log2(m)) for m in q)
+    logp = tuple(round(np.log2(m)) for m in p)
+    n_stoc, n_relu, n_mod, n_ctos = 2, 11, 8, 4
     layout = {
         "ecd": 1,
-        "stoc": (2, 2 + n_stoc),                 # levels [2, 5)
-        "repack": 2 + n_stoc,                    # 5
+        "stoc": (2, 2 + n_stoc),                 # levels [2, 4)
+        "stoc_groups": 3,                        # 3 matrices on 2 levels
+        "repack": 2 + n_stoc,                    # 4 (the 42-bit prime)
         "relu": (3 + n_stoc, 3 + n_stoc + n_relu),
         "evalmod": (3 + n_stoc + n_relu, 3 + n_stoc + n_relu + n_mod),
         "ctos": (3 + n_stoc + n_relu + n_mod,
                  3 + n_stoc + n_relu + n_mod + n_ctos),
     }
-    # 6 special primes (alpha=6): beta drops 9→6 at the top level, cutting
-    # both the key-switch NTT count and key bytes ~30% — the CtoS key set
-    # must fit the 16 GB v5e HBM (~125 MB/key compressed × ~40 keys).
-    # logQP ≈ 1621 stays inside the logN=16 128-bit budget (~1772).
-    return CkksParams(log_n=log_n, logq=logq, logp=(61,) * 6,
-                      log_scale=30, h=192, sigma=3.2, boot_layout=layout)
+    return CkksParams(log_n=log_n, logq=logq, logp=logp,
+                      log_scale=30, h=192, sigma=3.2, boot_layout=layout,
+                      q_explicit=q, p_explicit=p)
 
 
 def mini_boot_params(log_n: int = 10, n_relu: int = 2) -> CkksParams:

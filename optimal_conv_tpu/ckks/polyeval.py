@@ -107,7 +107,12 @@ def evaluate_poly(ctx: CkksContext, ct: Ciphertext, coeffs: np.ndarray,
     if deg >= 2:
         basis.get(1 << (_depth_of(deg) - 1))
     target_level = ct.level - _depth_of(deg) - (0 if tight else 1)
-    out, c0 = _eval_rec(ctx, _Pow(basis), coeffs, target_level, S)
+    # tight: recurse below deg-4 so no power is ever constant-multiplied
+    # at its own level (x^{m-1} lands at the x^m giant's level; a
+    # headroom-less const-mul encodes at cs≈1 and loses everything —
+    # only x itself, always one level above every target, goes direct)
+    out, c0 = _eval_rec(ctx, _Pow(basis), coeffs, target_level, S,
+                        min_direct=2 if tight else 4)
     assert out is not None, "constant polynomial"
     return ctx.add_const(out, c0) if c0 != 0.0 else out
 
@@ -123,7 +128,7 @@ class _Pow:
 
 
 def _eval_rec(ctx, basis, coeffs: np.ndarray, tl: int, S: float,
-              split=None):
+              split=None, min_direct: int = 4):
     """Evaluate coeffs toward (tl, S).  Returns (ct|None, pending_const):
     the true value is ct + pending_const (constant not yet added)."""
     split = _split if split is None else split
@@ -131,7 +136,7 @@ def _eval_rec(ctx, basis, coeffs: np.ndarray, tl: int, S: float,
     while deg > 0 and coeffs[deg] == 0:
         deg -= 1
     coeffs = coeffs[: deg + 1]
-    if deg < 4:
+    if deg < min_direct:
         return _eval_direct(ctx, basis, coeffs, tl, S)
     m = 1 << (_depth_of(deg) - 1)
     qq, rr = split(coeffs, m)
@@ -139,8 +144,8 @@ def _eval_rec(ctx, basis, coeffs: np.ndarray, tl: int, S: float,
     pw_lvl = tl + 1
     pw_at = ctx.drop_level(pw, pw.level - pw_lvl)
     sq = S * ctx.params.q_moduli[pw_lvl] / pw_at.scale
-    qc, qc0 = _eval_rec(ctx, basis, qq, pw_lvl, sq, split)
-    rc, rc0 = _eval_rec(ctx, basis, rr, tl, S, split)
+    qc, qc0 = _eval_rec(ctx, basis, qq, pw_lvl, sq, split, min_direct)
+    rc, rc0 = _eval_rec(ctx, basis, rr, tl, S, split, min_direct)
     if qc is None and qc0 == 0.0:
         return rc, rc0
     if qc is not None:
@@ -243,8 +248,13 @@ def _cheb_split(coeffs: np.ndarray, m: int):
 
 def evaluate_chebyshev(ctx: CkksContext, ct: Ciphertext, cheb_coeffs: np.ndarray,
                        a: float, b: float,
-                       target_scale: float | None = None) -> Ciphertext:
-    """Σ c_i·T_i(u(ct)) with u mapping [a,b]→[-1,1] (Chebyshev basis BSGS)."""
+                       target_scale: float | None = None,
+                       tight: bool = False) -> Ciphertext:
+    """Σ c_i·T_i(u(ct)) with u mapping [a,b]→[-1,1] (Chebyshev basis BSGS).
+
+    tight=True consumes exactly depth(deg) levels (see evaluate_poly) —
+    the EvalMod budget of the reference chain (8 = 6 + 2 double-angles
+    for its deg-63 cosine, ref_bootstrap_params.json[6].sine_qi)."""
     coeffs = np.asarray(cheb_coeffs, dtype=np.float64)
     deg = len(coeffs) - 1
     while deg > 0 and coeffs[deg] == 0:
@@ -254,7 +264,8 @@ def evaluate_chebyshev(ctx: CkksContext, ct: Ciphertext, cheb_coeffs: np.ndarray
     basis = ChebBasis(ctx, ct, a, b)
     if deg >= 2:
         basis.get(1 << (_depth_of(deg) - 1))
-    target_level = basis.pows[1].level - _depth_of(deg) - 1
-    out, c0 = _eval_rec(ctx, basis, coeffs, target_level, S, _cheb_split)
+    target_level = basis.pows[1].level - _depth_of(deg) - (0 if tight else 1)
+    out, c0 = _eval_rec(ctx, basis, coeffs, target_level, S, _cheb_split,
+                        min_direct=2 if tight else 4)
     assert out is not None, "constant polynomial"
     return ctx.add_const(out, c0) if c0 != 0.0 else out

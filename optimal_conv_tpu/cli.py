@@ -38,6 +38,102 @@ def _precision_stats(want: np.ndarray, have: np.ndarray) -> str:
             f"max {lg.max():6.2f}")
 
 
+def run_conv_bl(ker_wid: int, i_batch: int, n_tests: int, boot: bool) -> None:
+    """Prior-art ("Base Line") conv — run back-to-back with the paper's
+    method on the same data, like the reference CLI
+    (/root/reference/main.go:639-643 → test_BL.go:16-185)."""
+    from .ckks.params import CkksParams, boot_params
+    from .ckks.context import CkksContext
+    from .ckks.bootstrap import SplitBootstrapper
+    from .ops import baseline as bl
+    from .ops import conv as convops
+    from .ops.relu import relu_np
+
+    in_batch = BATCHS[i_batch]
+    in_wid = WIDTHS[i_batch]
+    pad = ker_wid // 2
+    raw_wid = in_wid - pad
+    pow_ = 4.0
+    hb = in_batch // 2
+
+    if boot:
+        params = boot_params(16)
+    else:
+        params = CkksParams(log_n=16, logq=(60, 45), logp=(61,),
+                            log_scale=30, h=192)
+    print(f"CKKS parameters: logN={params.log_n} logSlots={params.log_slots} "
+          f"h={params.h} logQP~{sum(params.logq) + sum(params.logp)} "
+          f"levels={len(params.logq)} scale=2^{params.log_scale}")
+    ctx = CkksContext(params, seed=0)
+    btp = None
+    if boot:
+        stoc_top = params.boot_layout["relu"][1] - 1
+        btp = SplitBootstrapper(ctx, log_sparse=0, stoc_level=stoc_top)
+    rng = np.random.default_rng(0)
+
+    for it in range(n_tests):
+        print(f"{it + 1}-th iter... start")
+        base = f"test_conv_data/test_conv{ker_wid}_batch_{in_batch}"
+        if os.path.exists(f"{base}_in_{it}.csv"):
+            raw = np.loadtxt(f"{base}_in_{it}.csv").ravel()
+            ker = np.loadtxt(f"{base}_ker_{it}.csv").ravel()
+            bn_a = np.loadtxt(f"{base}_bna_{it}.csv").ravel()
+            bn_b = np.loadtxt(f"{base}_bnb_{it}.csv").ravel()
+            out_name = "reluout" if boot else "out"
+            want = np.loadtxt(f"{base}_{out_name}_{it}.csv").ravel()
+        else:
+            raw = rng.uniform(-1, 1, raw_wid * raw_wid * in_batch)
+            ker = rng.uniform(-1, 1, ker_wid * ker_wid * in_batch * in_batch) \
+                / ker_wid**2
+            bn_a = rng.uniform(0.8, 1.2, in_batch)
+            bn_b = rng.uniform(-0.2, 0.2, in_batch)
+            img = raw.reshape(raw_wid, raw_wid, in_batch)
+            kk = ker.reshape(ker_wid, ker_wid, in_batch, in_batch)
+            plain = convops.conv2d_same_np(img, kk) * bn_a + bn_b
+            want = (relu_np(plain) if boot else plain).ravel()
+
+        # split channels over two ciphertexts (test_BL.go:59-76)
+        img3 = raw.reshape(raw_wid, raw_wid, in_batch)
+        pads = []
+        for half in range(2):
+            p_in = np.zeros(in_wid * in_wid * hb)
+            for b in range(hb):
+                blk = np.zeros((in_wid, in_wid))
+                blk[:raw_wid, :raw_wid] = img3[..., half * hb + b]
+                p_in[b::hb] = blk.ravel()
+            pads.append(bl.reshape_input_bl(p_in, in_wid))
+        t0 = time.perf_counter()
+        lvl = min(1, params.max_level) if not boot else 1
+        cts = [ctx.encrypt(ctx.encoder.encode_slots(v, params.scale, lvl))
+               for v in pads]
+        print(f"Encryption done in {time.perf_counter() - t0:.3f}s")
+
+        t0 = time.perf_counter()
+        ct_res = bl.conv_bl_split(ctx, cts[0], cts[1], ker, bn_a, bn_b,
+                                  in_wid, ker_wid, in_batch, pad)
+        print(f"Evaluation total done in {time.perf_counter() - t0:.3f}s")
+
+        if boot:
+            t0 = time.perf_counter()
+            r0 = ctx.rescale(ct_res[0])
+            r1 = ctx.rescale(ct_res[1])
+            ct_res = list(bl.eval_conv_bl_boot_relu(ctx, btp, r0, r1,
+                                                    0.0, pow_))
+            print(f"Boot (imaginary pack) + ReLU done in "
+                  f"{time.perf_counter() - t0:.3f}s")
+
+        t0 = time.perf_counter()
+        v1 = ctx.decrypt_decode_slots(ct_res[0] if boot
+                                      else ctx.rescale(ct_res[0]))
+        v2 = ctx.decrypt_decode_slots(ct_res[1] if boot
+                                      else ctx.rescale(ct_res[1]))
+        print(f"Decryption done in {time.perf_counter() - t0:.3f}s")
+        got = np.concatenate([bl.post_trim_bl(v1, raw_wid, in_wid),
+                              bl.post_trim_bl(v2, raw_wid, in_wid)])
+        got = bl.post_process_bl(got, raw_wid)
+        print(_precision_stats(want, got))
+
+
 def run_conv(ker_wid: int, i_batch: int, n_tests: int, boot: bool,
              debug: bool = False) -> None:
     from .ckks.params import CkksParams, boot_params

@@ -15,9 +15,15 @@ stack WITHOUT residual connections, /root/reference/test.go:76-370):
   block3: [conv(b3→b3)]×n3 …
   head: reduce-mean over the spatial grid, then FC.
 
-Strided convolution samples the ODD positions of the SAME-padded conv
-output (y[i,j] = conv(x)[2i+1, 2j+1]), which is what the encrypted
-compression repack extracts (verified in tests against the pipeline).
+Strided convolution samples the EVEN positions of the SAME-padded conv
+output (y[i,j] = conv(x)[2i, 2j], cropped to raw_in_wids[i+1]) when the
+raw input width is odd; even raw widths are pre-shifted by X^{mb(w+1)}
+so the odd positions land on the even grid (the reference's offset
+logic, /root/reference/eval.go:315-332, 377-385).  Verified against the
+bit-exact comprs_sparse mirror chain AND the encrypted pipeline
+(tests/test_pipeline.py::test_strconv_bn_relu_sparse): the round-1 note
+claiming odd-phase sampling was wrong — both the executable spec and
+the ciphertext path select conv[2i, 2j] exactly (err 0 in the mirror).
 """
 
 from __future__ import annotations
@@ -87,7 +93,11 @@ def random_weights(ker_wid: int, depth: int, batches=(16, 32, 64),
 def conv_bn_relu_plain(x, ker, a, b, stride=1):
     y = conv2d_same_np(x, ker) * a + b
     if stride == 2:
-        y = y[1::2, 1::2]
+        # odd raw width: even-grid samples y[2i,2j]; even raw width: the
+        # encrypted path pre-shifts by X^{mb(w+1)} so y[2i+1,2j+1] lands
+        # on the even grid (/root/reference/eval.go:377-385)
+        ph = 0 if x.shape[0] % 2 == 1 else 1
+        y = y[ph::2, ph::2]
     return relu_np(y)
 
 

@@ -146,6 +146,81 @@ def eval_conv_bl_boot_relu(ctx: CkksContext, btp, ct1: Ciphertext,
     return out[0], out[1]
 
 
+def post_trim_bl(in_vals: np.ndarray, raw_in_wid: int,
+                 in_wid: int) -> np.ndarray:
+    """Crop the valid raw² region of every channel block, keeping the
+    channel-major BL order (post_trim_BL, /root/reference/main.go:1073)."""
+    vals = np.real(np.asarray(in_vals))
+    batch = len(vals) // (in_wid * in_wid)
+    out = np.zeros(raw_in_wid * raw_in_wid * batch)
+    for b in range(batch):
+        blk = vals[b * in_wid * in_wid:(b + 1) * in_wid * in_wid]
+        out[b * raw_in_wid * raw_in_wid:(b + 1) * raw_in_wid * raw_in_wid] = \
+            blk.reshape(in_wid, in_wid)[:raw_in_wid, :raw_in_wid].ravel()
+    return out
+
+
+def post_process_bl(in_vals: np.ndarray, raw_in_wid: int) -> np.ndarray:
+    """Channel-major BL layout → (i, j, b) interleaved raw order
+    (post_process_BL, /root/reference/main.go:1089)."""
+    vals = np.asarray(in_vals)
+    batch = len(vals) // (raw_in_wid * raw_in_wid)
+    return vals.reshape(batch, raw_in_wid, raw_in_wid).transpose(1, 2, 0).ravel()
+
+
+def conv_bl_split(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext,
+                  ker_in: np.ndarray, bn_a: np.ndarray, bn_b: np.ndarray,
+                  in_wid: int, ker_wid: int, real_batch: int,
+                  pad: int) -> list[Ciphertext]:
+    """The reference BL driver's 2-ct × 2×2 block conv: the channels are
+    split over two ciphertexts (ct1 = channels [0, B/2), ct2 = the rest);
+    each of the two output halves sums a conv from each input half
+    (/root/reference/test_BL.go:82-110)."""
+    hb = real_batch // 2
+    ker = np.asarray(ker_in).reshape(ker_wid * ker_wid, real_batch,
+                                     real_batch)
+    zeros = np.zeros(hb)
+    out = []
+    for pos in range(2):
+        k0 = ker[:, :hb, pos * hb:(pos + 1) * hb].ravel()
+        k1 = ker[:, hb:, pos * hb:(pos + 1) * hb].ravel()
+        a = eval_conv_bn_bl(ctx, ct1, k0, bn_a[pos * hb:(pos + 1) * hb],
+                            bn_b[pos * hb:(pos + 1) * hb], in_wid, ker_wid,
+                            hb, hb, pad)
+        b = eval_conv_bn_bl(ctx, ct2, k1, bn_a[pos * hb:(pos + 1) * hb],
+                            zeros, in_wid, ker_wid, hb, hb, pad)
+        out.append(ctx.add(a, b))
+    return out
+
+
+def eval_rmfc_bl_img(ctx: CkksContext, ct_in: Ciphertext, ker_fc: np.ndarray,
+                     in_batch: int, out_num: int,
+                     raw_in_wid: int) -> Ciphertext:
+    """ImageNet-tail reduce-mean + FC: rotate-sum 64 slots per channel
+    block (only raw² are nonzero) then the diagonal method over 64-slot
+    blocks (evalRMFC_BL_img, /root/reference/eval.go:187-218)."""
+    p = ctx.params
+    rs_ker = np.asarray(ker_fc).reshape(in_batch, out_num) \
+        / float(raw_in_wid * raw_in_wid)
+    ct_avg = ct_in
+    i = 1
+    while i < 64:
+        ct_avg = ctx.add(ct_avg, ctx.rotate(ct_avg, i))
+        i *= 2
+    ct_res = None
+    for i in range(in_batch):
+        tmp = np.zeros(p.slots, dtype=np.complex128)
+        for j in range(out_num):
+            tmp[(i + j) % in_batch * 64] = rs_ker[(i + j) % in_batch, j]
+        pl = ctx.encoder.encode_slots(tmp, p.scale, ct_avg.level)
+        t = ctx.mul_plain(ct_avg, pl)
+        if i == 0:
+            ct_res = t
+        else:
+            ct_res = ctx.add(ct_res, ctx.rotate(t, i * 64))
+    return ct_res
+
+
 def eval_rmfc_bl(ctx: CkksContext, ct_in: Ciphertext, fc_w: np.ndarray,
                  fc_b: np.ndarray, in_batch: int, spatial: int) -> Ciphertext:
     """Reduce-mean + FC via rotate-sum + diagonal method (evalRMFC_BL)."""

@@ -45,24 +45,31 @@ def relu_np(x: np.ndarray, alpha: float = 0.0) -> np.ndarray:
     return np.maximum(0, x) + np.minimum(0, x * alpha)
 
 
-def eval_relu(ctx: CkksContext, ct: Ciphertext, alpha: float = 0.0) -> Ciphertext:
+def eval_relu(ctx: CkksContext, ct: Ciphertext, alpha: float = 0.0,
+              tight: bool | None = None) -> Ciphertext:
     """leakyReLU(ct) = ct·(b·s(ct) + a); output scale ≈ params scale.
 
-    When the chain primes in the relu region exceed the working scale by
-    ≥ 2^12 (the depth-optimal 45b-primes layout), each composite runs
-    "tight" — depth(deg) levels instead of depth+1 — for 11 total levels
-    instead of 14; power scales are held at Δ by the PowerBasis boost
-    and the final product is boosted back to ≈Δ the same way."""
+    tight (depth-optimal) evaluation spends depth(deg) levels per
+    composite — 11 total (3+3+4+1) instead of 14, the reference chain's
+    ReLU budget (11×30b, ref_bootstrap_params.json[6].relu_b_qi).  It
+    works at ANY prime/scale margin: polyeval recurses below deg-4 in
+    tight mode so no cached power is constant-multiplied at its own
+    level.  Auto (tight=None): chains whose boot_layout allots exactly
+    11 relu levels run tight; layout-less chains fall back to the
+    legacy margin heuristic (≥12 bits over the working scale)."""
     a_const = (alpha + 1) / 2.0
     b_const = (1 - alpha) / 2.0
     p = ctx.params
     scale = p.scale
-    # tight iff every prime this evaluation touches has ≥ 12 bits of
-    # margin over the working scale
     depth_total = 3 + 3 + 4 + 1
-    lo = max(ct.level - depth_total, 0)
-    tight = all(np.log2(p.q_moduli[l]) - p.log_scale >= 12.0
-                for l in range(lo, ct.level + 1))
+    if tight is None:
+        if p.boot_layout is not None:
+            lo_r, hi_r = p.boot_layout["relu"]
+            tight = (hi_r - lo_r) == depth_total
+        else:
+            lo = max(ct.level - depth_total, 0)
+            tight = all(np.log2(p.q_moduli[l]) - p.log_scale >= 12.0
+                        for l in range(lo, ct.level + 1))
     s = evaluate_poly(ctx, ct, SIGN_POLY_1, scale, tight=tight)
     s = evaluate_poly(ctx, s, SIGN_POLY_2, scale, tight=tight)
     s = evaluate_poly(ctx, s, SIGN_POLY_3 * b_const, scale, tight=tight)

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--aot", action="store_true",
                     help="compile-only warm (no device memory/execution)")
+    ap.add_argument("--ops", type=str, default=None,
+                    help="comma-separated aot op subset (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -61,9 +63,12 @@ def main():
     rng = np.random.default_rng(0)
 
     if args.aot:
+        kw = {}
+        if args.ops:
+            kw["ops"] = tuple(args.ops.split(","))
         for lvl in levels:
             t0 = time.perf_counter()
-            times = ctx.aot_warm(lvl)
+            times = ctx.aot_warm(lvl, **kw)
             detail = " ".join(f"{k}:{v:.0f}s" for k, v in times.items())
             print(f"level {lvl} aot-warmed in "
                   f"{time.perf_counter() - t0:.1f}s  ({detail})", flush=True)

@@ -101,8 +101,15 @@ def test_strconv_bn_relu_sparse(ctx):
     got = got.reshape(raw_out, raw_out, max_out)[:, :, ::norm_out][:, :, :real_ob]
 
     full = convops.conv2d_same_np(img, ker) * bn_a + bn_b   # [15, 15, ob]
-    # strided sampling candidates: offset 0 or 1
-    cand = {o: relu_np(full[o::2, o::2][:raw_out, :raw_out]) for o in (0, 1)}
-    errs = {o: np.max(np.abs(got - c)) for o, c in cand.items()}
-    best = min(errs, key=errs.get)
-    assert errs[best] < 5e-2, f"stride errs {errs}"
+    # the reference contract, pinned EXACTLY (no best-of-two fallback):
+    # for odd raw widths the strided output is the SAME-conv sampled on
+    # the even grid y[2i, 2j] — proven by running the bit-exact
+    # comprs_sparse mirror chain (gen_comprs_sparse is a loop-for-loop
+    # port of rot_util.go:557-722) over the conv coefficient layout:
+    # the mirror reproduces y[2i,2j] with error 0.0 and the encrypted
+    # path matches it.  (Even raw widths pre-shift by X^{mb(w+1)} so
+    # y[2i+1,2j+1] lands on the even grid — eval.go:377-385.)  A phase
+    # regression must fail, not fall back.
+    want = relu_np(full[0::2, 0::2][:raw_out, :raw_out])
+    err = np.max(np.abs(got - want))
+    assert err < 5e-2, f"stride phase y[2i,2j] err {err}"
