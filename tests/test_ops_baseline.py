@@ -89,3 +89,57 @@ def test_conv_bl_boot_relu():
     tol = 0.4  # mini chain precision at range 2^4
     assert np.max(np.abs(got1 - relu_np(z1))) < tol, np.max(np.abs(got1 - relu_np(z1)))
     assert np.max(np.abs(got2 - relu_np(z2))) < tol
+
+
+def test_conv_bl_split_and_postprocess(ctx):
+    """The BL driver's 2-ct × 2×2 block conv + post_trim_BL/post_process_BL
+    (reference test_BL.go:59-110, main.go:1073-1102)."""
+    in_wid, ker_wid, ch = 8, 3, 4
+    pad = 1
+    raw = in_wid - pad
+    hb = ch // 2
+    img = RNG.uniform(-1, 1, (raw, raw, ch))
+    ker = RNG.uniform(-1, 1, (ker_wid, ker_wid, ch, ch)) / 4
+    bn_a = RNG.uniform(0.8, 1.2, ch)
+    bn_b = RNG.uniform(-0.3, 0.3, ch)
+
+    cts = []
+    for half in range(2):
+        padded = np.zeros((in_wid, in_wid, hb))
+        padded[:raw, :raw] = img[..., half * hb:(half + 1) * hb]
+        slots_in = bl.reshape_input_bl(padded.ravel(), in_wid)
+        cts.append(ctx.encrypt(ctx.encoder.encode_slots(
+            slots_in.astype(np.complex128), PARAMS.scale, PARAMS.max_level)))
+
+    res = bl.conv_bl_split(ctx, cts[0], cts[1], ker.ravel(), bn_a, bn_b,
+                           in_wid, ker_wid, ch, pad)
+    v1 = ctx.decrypt_decode_slots(ctx.rescale(res[0]))[: hb * in_wid * in_wid]
+    v2 = ctx.decrypt_decode_slots(ctx.rescale(res[1]))[: hb * in_wid * in_wid]
+    got = np.concatenate([bl.post_trim_bl(v1, raw, in_wid),
+                          bl.post_trim_bl(v2, raw, in_wid)])
+    got = bl.post_process_bl(got, raw)
+    want = (conv2d_same_np(img, ker) * bn_a + bn_b).ravel()
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_rmfc_bl_img(ctx):
+    """ImageNet-tail reduce-mean+FC: 64-slot channel blocks, sum-64
+    ladder, diagonal method (evalRMFC_BL_img, eval.go:187-218)."""
+    in_batch, out_num, raw = 16, 8, 7
+    blk = 64
+    assert in_batch * blk <= PARAMS.slots
+    feat = RNG.uniform(-1, 1, (in_batch, raw * raw))
+    fc_w = RNG.uniform(-1, 1, (in_batch, out_num))
+
+    slots = np.zeros(PARAMS.slots, dtype=np.complex128)
+    for b in range(in_batch):
+        spa = np.zeros((8, 8))
+        spa[:raw, :raw] = feat[b].reshape(raw, raw)
+        slots[b * blk:(b + 1) * blk] = spa.ravel()
+    ct = ctx.encrypt(ctx.encoder.encode_slots(slots, PARAMS.scale,
+                                              PARAMS.max_level))
+    out = bl.eval_rmfc_bl_img(ctx, ct, fc_w.ravel(), in_batch, out_num, raw)
+    z = ctx.decrypt_decode_slots(ctx.rescale(out)).real
+    got = z[np.arange(out_num) * blk]
+    want = feat.mean(axis=1) @ fc_w
+    np.testing.assert_allclose(got, want, atol=2e-3)
