@@ -246,3 +246,157 @@ class ResNetRunner:
         mb = self.max_batch[2]
         ctr = (kw // 2) * cfg.in_wids[2] * mb + (kw // 2) * mb
         return cfs[ctr: ctr + self.norm[2] * n_out: self.norm[2]]
+
+
+class FastResNetRunner:
+    """The "crop_fast" packing regime (testResNet_crop_fast_in,
+    /root/reference/test.go:372-636): every layer stays on the
+    in_wids[0] grid at log_sparse=0; strided transitions double the
+    dilation step (1 → 2 → 4) via StrConv_inside with interleaved
+    kernels, and the repack is a keep_vec_stride mask per (step, ul)
+    (newContext "Resnet_crop_fast", /root/reference/main.go:123-137).
+    The FC head is one in-grid conv with replicated taps; logits live at
+    grid position (kw/2+1, kw/2+1) stride norm[2]
+    (/root/reference/test.go:556-636)."""
+
+    def __init__(self, ctx: CkksContext, cfg: ResNetConfig,
+                 boot_kwargs: dict | None = None):
+        self.ctx = ctx
+        self.cfg = cfg
+        p = ctx.params
+        n = p.n
+        w0 = cfg.in_wids[0]
+        self.w0 = w0
+        self.max_batch = n // (w0 * w0)
+        self.norm = [self.max_batch // rb for rb in cfg.real_batch]
+        self.steps = (1, 2, 4)
+        raw = cfg.raw_in_wids
+        vec = n // 2
+        self.keep_maps = []
+        for i in range(3):
+            step = self.steps[i]
+            odd = raw[i] % 2 == 1
+            self.keep_maps.append(LayerMaps(ext_idx=[
+                rp.gen_keep_vec_stride(vec, w0, raw[i], step, 0, odd),
+                rp.gen_keep_vec_stride(vec, w0, raw[i], step, 1, odd)]))
+        self.btps = BootstrapperFamily(ctx, boot_kwargs)
+
+    def encrypt_image(self, image: np.ndarray):
+        cfg, p = self.cfg, self.ctx.params
+        w0, mb = self.w0, self.max_batch
+        raw0 = cfg.raw_in_wids[0]
+        nch = image.shape[-1]
+        inp = np.zeros(p.n)
+        for b in range(nch):
+            blk = np.zeros((w0, w0))
+            blk[:raw0, :raw0] = image[..., b]
+            inp[b * self.norm[0]::mb] = blk.ravel()
+        pt = self.ctx.encoder.encode_coeffs(inp, p.scale, 1)
+        return self.ctx.encrypt(pt)
+
+    @staticmethod
+    def _interleave_ker(ker: np.ndarray) -> np.ndarray:
+        """[kw, kw, ib, ob] → [kw, kw, 2·ib, ob] with the real input
+        channels at even slots (the transitions' doubled-batch layout,
+        /root/reference/test.go:485-493)."""
+        kw, _, ib, ob = ker.shape
+        out = np.zeros((kw, kw, 2 * ib, ob))
+        out[:, :, 0::2] = ker
+        return out
+
+    def infer(self, image: np.ndarray, w: ResNetWeights,
+              timings: dict | None = None) -> np.ndarray:
+        ctx, cfg = self.ctx, self.cfg
+        n1, n2, n3 = NUM_BLOCKS[cfg.depth]
+        raw = cfg.raw_in_wids
+        rb = cfg.real_batch
+        w0 = self.w0
+        ct = self.encrypt_image(image)
+        li = 0
+        tm = timings if timings is not None else {}
+        t0 = time.perf_counter()
+
+        def layer(ct, li, kind, pow_, blk, ker, real_ib, real_ob, norm):
+            t = time.perf_counter()
+            step = self.steps[blk]
+            out = eval_conv_bn_relu(
+                ctx, self.btps, ct, ker.ravel(), w.bn_a[li], w.bn_b[li],
+                cfg.alpha, pow_, w0, raw[blk], cfg.ker_wid, real_ib,
+                real_ob, norm, 0, step, 2, 0, kind, self.keep_maps[blk])
+            print(f"  fast layer {li} ({kind}, step={step}) done in "
+                  f"{time.perf_counter() - t:.1f}s", flush=True)
+            return out
+
+        pow_ = cfg.init_pow
+        for _ in range(n1):
+            ct = layer(ct, li, "Conv_inside", pow_, 0, w.convs[li],
+                       w.convs[li].shape[2], rb[0], self.norm[0])
+            pow_ = cfg.mid_pow
+            li += 1
+        tm["blc1"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        ct = layer(ct, li, "StrConv_inside", pow_, 1,
+                   self._interleave_ker(w.convs[li]), rb[1], rb[1],
+                   self.norm[1])
+        li += 1
+        tm["blc1to2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        for _ in range(n2):
+            ct = layer(ct, li, "Conv_inside", pow_, 1, w.convs[li],
+                       rb[1], rb[1], self.norm[1])
+            li += 1
+        tm["blc2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        ct = layer(ct, li, "StrConv_inside", pow_, 2,
+                   self._interleave_ker(w.convs[li]), rb[2], rb[2],
+                   self.norm[2])
+        li += 1
+        tm["blc2to3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        for j in range(n3):
+            if j == n3 - 1:
+                pow_ = cfg.final_pow
+            ct = layer(ct, li, "Conv_inside", pow_, 2, w.convs[li],
+                       rb[2], rb[2], self.norm[2])
+            li += 1
+        tm["blc3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        logits = self._fc_head(ct, w)
+        tm["fc"] = time.perf_counter() - t0
+        return logits
+
+    def _fc_head(self, ct, w: ResNetWeights) -> np.ndarray:
+        cfg = self.cfg
+        b3 = cfg.real_batch[2]
+        fc_out = cfg.fc_out
+        if fc_out <= b3:
+            return self._fc_conv(ct, w.fc_w, w.fc_b)
+        assert fc_out % 2 == 0 and fc_out // 2 <= b3
+        lo = self._fc_conv(ct, w.fc_w[:, : fc_out // 2], w.fc_b[: fc_out // 2])
+        hi = self._fc_conv(ct, w.fc_w[:, fc_out // 2:], w.fc_b[fc_out // 2:])
+        return np.concatenate([lo, hi])
+
+    def _fc_conv(self, ct, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndarray:
+        ctx, cfg = self.ctx, self.cfg
+        raw0, raw2 = cfg.raw_in_wids[0], cfg.raw_in_wids[2]
+        kw = raw0 if raw0 % 2 == 1 else raw0 + 1
+        b3 = cfg.real_batch[2]
+        n_out = fc_w.shape[1]
+        ker = np.broadcast_to(fc_w[None, None], (kw, kw, b3, n_out)).copy()
+        bn_a = np.full(n_out, 1.0 / (raw2 * raw2))
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a,
+                                   np.asarray(fc_b), self.w0, kw, b3,
+                                   n_out, self.norm[2], float(1 << 30))
+        cfs = ctx.decrypt_decode_coeffs(out)
+        mb = self.max_batch
+        # logits at grid position (kw/2+1, kw/2+1) in the reference's
+        # 1-BASED prt_mat_one_norm indexing (/root/reference/main.go:920)
+        # = 0-based (kw//2, kw//2): the all-ones window centered there
+        # covers exactly the phase-0 step-grid features {0, s, 2s, ...}
+        ctr = (kw // 2) * self.w0 * mb + (kw // 2) * mb
+        return cfs[ctr: ctr + self.norm[2] * n_out: self.norm[2]]

@@ -188,6 +188,72 @@ def build_sharded_layer_step(ctx: CkksContext, level: int, mesh: Mesh):
     )
 
 
+def shard_ct(ct, mesh: Mesh):
+    """Commit a single ciphertext's RNS-limb axis to the mesh's tp axis.
+
+    Every evaluator kernel takes [l+1, N] polys; committing the inputs
+    makes GSPMD propagate the limb sharding through the whole fused
+    layer (NTT/pointwise/automorphism limb-local; basis extension,
+    mod-down and rescale become cross-limb collectives)."""
+    from ..ckks.types import Ciphertext
+    tp = mesh.shape["tp"]
+    # low levels have fewer limbs than tp — shard the coefficient axis
+    # there instead (N is a power of two ≥ tp); GSPMD re-lays internals
+    spec = P("tp", None) if ct.c0.shape[0] % tp == 0 else P(None, "tp")
+    sh = NamedSharding(mesh, spec)
+    return Ciphertext(jax.device_put(ct.c0, sh), jax.device_put(ct.c1, sh),
+                      level=ct.level, scale=ct.scale)
+
+
+def dryrun_fused_layer(n_devices: int, log_n: int = 9) -> None:
+    """Compile + execute ONE FULL fused encrypted layer — conv+BN →
+    CtoS (LinearTransforms) → EvalMod → ReLU → keep-repack → StoC — with
+    the ciphertext limb axis sharded over the mesh's tp axis.
+
+    This is the real model hot loop (ops/pipeline.eval_conv_bn_relu),
+    not a toy step: it exercises hoisted rotations, BSGS giants with
+    lazy QP accumulation, relinearization and rescale under GSPMD.
+    Small EvalMod degrees keep the dryrun's compile budget low; the
+    bit-exactness of sharded-vs-single execution at full degrees is
+    asserted in tests/test_parallel.py."""
+    from ..ckks.bootstrap import SplitBootstrapper
+    from ..ckks.params import mini_boot_params
+    from ..ops import conv as convops
+    from ..ops import repack as rp
+    from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
+
+    mesh = make_mesh(n_devices)
+    params = mini_boot_params(log_n, n_relu=14)
+    ctx = CkksContext(params, seed=7)
+    n = params.n
+    in_wid = 16
+    ker_wid = 3
+    raw = in_wid - ker_wid // 2
+    max_batch = n // (in_wid * in_wid)
+    ls = max(int(np.log2(max_batch)) - 1, 1)
+    norm = 1 << ls
+    real_b = max_batch // norm
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(-0.5, 0.5, (raw, raw, real_b))
+    ker = rng.uniform(-1, 1, (ker_wid, ker_wid, real_b, real_b)) / 4.0
+    bn_a = np.ones(real_b)
+    bn_b = np.zeros(real_b)
+    inp = convops.prep_input(img.ravel(), raw, in_wid, n, norm)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
+    ct = shard_ct(ct, mesh)
+
+    btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, k_range=2.0,
+                                  sin_deg=7, double_angle=1)}
+    maps = LayerMaps(ext_idx=[
+        rp.gen_keep_vec_sparse(n // 2, in_wid, raw, ls), None])
+    out = eval_conv_bn_relu(ctx, btps, ct, ker.ravel(), bn_a, bn_b, 0.0,
+                            4.0, in_wid, raw, ker_wid, real_b, real_b,
+                            norm, 0, 1, 2, ls, "Conv_sparse", maps)
+    got = ctx.decrypt_decode_coeffs(out)
+    assert out.level >= 1 and np.all(np.isfinite(got)), "fused layer dryrun"
+
+
 def dryrun(n_devices: int, log_n: int = 8, levels: int = 7,
            batch: int | None = None) -> None:
     """Compile + execute one sharded layer step on an n_devices mesh.

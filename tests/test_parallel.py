@@ -132,3 +132,50 @@ def test_coeff_axis_sharding_matches_single_device():
                jax.device_put(swk.d0, ksh), jax.device_put(swk.d1, ksh))
     ref = ctx.keyswitch(nttmod.apply_galois_ntt(ct.c1, perm), lvl, swk)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(ref[0]))
+
+
+def test_sharded_fused_layer_bit_exact():
+    """The FULL fused layer (conv+BN → CtoS → ReLU → repack → StoC) with
+    the limb axis tp-sharded over the 8-device mesh produces EXACTLY the
+    same ciphertext as the single-device run — same keys, same input,
+    integer modular arithmetic end to end (VERDICT r1 #10)."""
+    from optimal_conv_tpu.ckks.params import mini_boot_params
+    from optimal_conv_tpu.ckks.bootstrap import SplitBootstrapper
+    from optimal_conv_tpu.ops import conv as convops
+    from optimal_conv_tpu.ops import repack as rp
+    from optimal_conv_tpu.ops.pipeline import eval_conv_bn_relu, LayerMaps
+
+    params = mini_boot_params(log_n=10, n_relu=14)
+    ctx = CkksContext(params, seed=19)
+    n = params.n
+    in_wid, ker_wid = 16, 3
+    raw = in_wid - ker_wid // 2
+    max_batch = n // (in_wid * in_wid)
+    norm, ls = 4, 2
+    real_b = max_batch // norm
+
+    rng = np.random.default_rng(41)
+    img = rng.uniform(-0.8, 0.8, (raw, raw, real_b))
+    ker = rng.uniform(-1, 1, (ker_wid, ker_wid, real_b, real_b)) / 4.0
+    bn_a = rng.uniform(0.8, 1.2, real_b)
+    bn_b = rng.uniform(-0.2, 0.2, real_b)
+    inp = convops.prep_input(img.ravel(), raw, in_wid, n, norm)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
+
+    btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, k_range=12.0,
+                                  sin_deg=31, double_angle=3)}
+    maps = LayerMaps(ext_idx=[
+        rp.gen_keep_vec_sparse(n // 2, in_wid, raw, ls), None])
+
+    def run(ct_in):
+        out = eval_conv_bn_relu(ctx, btps, ct_in, ker.ravel(), bn_a, bn_b,
+                                0.0, 4.0, in_wid, raw, ker_wid, real_b,
+                                real_b, norm, 0, 1, 2, ls, "Conv_sparse",
+                                maps)
+        return np.asarray(out.c0), np.asarray(out.c1)
+
+    single0, single1 = run(ct)
+    mesh = sh.make_mesh(8)
+    shard0, shard1 = run(sh.shard_ct(ct, mesh))
+    np.testing.assert_array_equal(single0, shard0)
+    np.testing.assert_array_equal(single1, shard1)
