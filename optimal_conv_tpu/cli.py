@@ -224,11 +224,11 @@ def run_conv(ker_wid: int, i_batch: int, n_tests: int, boot: bool,
 
 
 def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
-               cf100: bool) -> None:
+               cf100: bool, fast: bool = False) -> None:
     from .ckks.params import boot_params
     from .ckks.context import CkksContext
     from .models.plain import random_weights, plain_forward
-    from .models.resnet import ResNetConfig, ResNetRunner
+    from .models.resnet import ResNetConfig, ResNetRunner, FastResNetRunner
 
     fc_out = 100 if cf100 else 10
     batches = {1: (16, 32, 64), 2: (32, 64, 128), 3: (48, 96, 192)}[wide]
@@ -237,7 +237,11 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
     params = boot_params(16)
     print("building context + keys ...")
     ctx = CkksContext(params, seed=0)
-    runner = ResNetRunner(ctx, cfg)
+    if fast:
+        assert wide == 1, "fast regime is the wide-1 drivers (test.go:372)"
+        runner = FastResNetRunner(ctx, cfg)
+    else:
+        runner = ResNetRunner(ctx, cfg)
     w = random_weights(ker_wid, depth, cfg.real_batch, fc_out=fc_out, seed=1,
                        init_batch=cfg.init_batch if wide > 1 else None)
     rng = np.random.default_rng(2)
@@ -272,7 +276,9 @@ def main(argv=None):
         print(__doc__)
         return 1
     debug = "--debug" in argv
-    argv = [a for a in argv if a != "--debug"]
+    fast = "--fast" in argv
+    skip_bl = "--no-bl" in argv
+    argv = [a for a in argv if a not in ("--debug", "--fast", "--no-bl")]
     cmd = argv[0]
     if cmd in ("conv", "convReLU"):
         ker, ib, n = int(argv[1]), int(argv[2]), int(argv[3])
@@ -280,13 +286,20 @@ def main(argv=None):
             raise SystemExit("kernel width must be 3, 5 or 7")
         if n > 10 or ib > 3:
             raise SystemExit("too many tests (>10) or batch index (>3)")
-        run_conv(ker, ib, n, boot=(cmd == "convReLU"), debug=debug)
+        boot = cmd == "convReLU"
+        # the reference runs prior-art and the paper's method
+        # back-to-back on the same data (/root/reference/main.go:639-643)
+        if not skip_bl:
+            print("Base Line start.")
+            run_conv_bl(ker, ib, n, boot=boot)
+        print("Ours start.")
+        run_conv(ker, ib, n, boot=boot, debug=debug)
     elif cmd == "resnet":
         ker, depth, wide, n = (int(x) for x in argv[1:5])
         cf100 = argv[5].lower() in ("true", "1") if len(argv) > 5 else False
         if depth not in (8, 14, 20):
             raise SystemExit("depth must be 8, 14 or 20")
-        run_resnet(ker, depth, wide, n, cf100)
+        run_resnet(ker, depth, wide, n, cf100, fast=fast)
     else:
         raise SystemExit(f"unknown command {cmd}")
     return 0

@@ -112,3 +112,88 @@ def _identity_fc(ch: int, raw: int):
     bn_a = np.full(ch, 1.0 / (raw * raw))
     bn_b = np.zeros(ch)
     return ker.ravel(), bn_a, bn_b
+
+
+class ImagenetFinalFastRunner:
+    """The ``Imagenet_final_fast`` regime (testImagenet_final_fast_in,
+    /root/reference/test.go:1209-1400): BOTH blocks at full packing
+    (log_sparse=0, "Conv" with gen_keep_vec masks); the block transition
+    is TWO plain "StrConv" evaluations of the out-channel halves at
+    pack_pos 0 and 1 (single-stage gen_comprs_full repack with
+    kp = 2·kp_wids[1], newContext "Imagenet_final_fast",
+    /root/reference/main.go:378-404), summed; RMFC head = one 7-wide
+    replicated-tap conv, logits at 1-based grid position (4, 4)."""
+
+    def __init__(self, ctx: CkksContext, ker_wid: int = 3,
+                 boot_kwargs: dict | None = None,
+                 num_blc: tuple[int, int] = (3, 3)):
+        self.ctx = ctx
+        self.ker_wid = ker_wid
+        p = ctx.params
+        self.in_wids = (16, 8)
+        self.kp_wids = (14, 7 if ker_wid == 3 else 6)
+        self.real_batch = (p.n // (16 * 16), 2 * (p.n // (16 * 16)))
+        self.num_blc = num_blc
+        vec = p.n // 2
+
+        self.keep_maps = [
+            LayerMaps(ext_idx=[rp.gen_keep_vec(vec, 16, self.kp_wids[0], 0),
+                               rp.gen_keep_vec(vec, 16, self.kp_wids[0], 1)]),
+            LayerMaps(ext_idx=[rp.gen_keep_vec(vec, 8, self.kp_wids[1], 0),
+                               rp.gen_keep_vec(vec, 8, self.kp_wids[1], 1)]),
+        ]
+        kp2 = 2 * self.kp_wids[1]
+        self.str_maps = [
+            LayerMaps(r_idx=rp.gen_comprs_full(vec, 16, kp2, pos, 0),
+                      r_idx_l=rp.gen_comprs_full(vec, 16, kp2, pos, 1))
+            for pos in range(2)]
+        self.btps = BootstrapperFamily(ctx, boot_kwargs)
+
+    def encrypt_input(self, x: np.ndarray):
+        p = self.ctx.params
+        w0 = self.in_wids[0]
+        inp = np.zeros(p.n)
+        for b in range(x.shape[-1]):
+            blk = np.zeros((w0, w0))
+            blk[: x.shape[0], : x.shape[1]] = x[..., b]
+            inp[b::p.n // (w0 * w0)] = blk.ravel()
+        return self.ctx.encrypt(self.ctx.encoder.encode_coeffs(inp, p.scale, 1))
+
+    def infer_features(self, x: np.ndarray, convs: list, bn_a: list,
+                       bn_b: list, init_pow=6.0, mid_pow=5.0) -> np.ndarray:
+        ctx = self.ctx
+        ct = self.encrypt_input(x)
+        li = 0
+        pow_ = init_pow
+        b0, b1 = self.real_batch
+        for i in range(self.num_blc[0]):
+            if i == self.num_blc[0] - 1:
+                pow_ = mid_pow
+            ct = eval_conv_bn_relu(
+                ctx, self.btps, ct, convs[li].ravel(), bn_a[li], bn_b[li],
+                0.0, pow_, 16, self.kp_wids[0], self.ker_wid, b0, b0,
+                1, 0, 1, 2, 0, "Conv", self.keep_maps[0])
+            li += 1
+        # transition: out-channel halves as two plain StrConvs at pos 0/1
+        ker = convs[li]
+        halves = []
+        for pos in range(2):
+            kh = ker[:, :, :, pos * b1 // 2:(pos + 1) * b1 // 2]
+            halves.append(eval_conv_bn_relu(
+                ctx, self.btps, ct, kh.ravel(),
+                bn_a[li][pos * b1 // 2:(pos + 1) * b1 // 2],
+                bn_b[li][pos * b1 // 2:(pos + 1) * b1 // 2],
+                0.0, pow_, 16, 2 * self.kp_wids[1], self.ker_wid, b0, b0,
+                1, pos, 1, 2, 0, "StrConv", self.str_maps[pos]))
+        ct = ctx.add(halves[0], halves[1])
+        li += 1
+        for i in range(self.num_blc[1]):
+            ct = eval_conv_bn_relu(
+                ctx, self.btps, ct, convs[li].ravel(), bn_a[li], bn_b[li],
+                0.0, pow_, 8, self.kp_wids[1], self.ker_wid, b1, b1,
+                1, 0, 1, 2, 0, "Conv", self.keep_maps[1])
+            li += 1
+        return ctx.decrypt_decode_coeffs(
+            convops.eval_conv_bn(ctx, ct, *_identity_fc(b1, self.kp_wids[1]),
+                                 8, self.kp_wids[1] | 1, b1, b1, 1,
+                                 float(1 << 30)))

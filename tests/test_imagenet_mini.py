@@ -57,3 +57,40 @@ def test_imagenet_tail_mini(ctx):
     err = np.max(np.abs(got - feat))
     assert err < 0.1, f"feature err {err}: {got} vs {feat}"
     assert np.max(np.abs(feat)) > 0.02
+
+
+def test_imagenet_final_fast_mini(ctx):
+    """The Imagenet_final_fast regime (test.go:1209-1400): both blocks
+    at full pack, transition = two plain StrConvs at pack_pos 0/1 with
+    single-stage comprs_full repack (kp = 2·kp_wids[1]), summed."""
+    from optimal_conv_tpu.models.imagenet import ImagenetFinalFastRunner
+
+    runner = ImagenetFinalFastRunner(
+        ctx, ker_wid=3, num_blc=(1, 1),
+        boot_kwargs=dict(k_range=12.0, sin_deg=31, double_angle=3))
+    b0, b1 = runner.real_batch           # 4, 8 at logN=10
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-0.8, 0.8, (14, 14, b0))
+    convs = [rng.uniform(-1, 1, (3, 3, b0, b0)) / 5.0,
+             rng.uniform(-1, 1, (3, 3, b0, b1)) / 5.0,
+             rng.uniform(-1, 1, (3, 3, b1, b1)) / 5.0]
+    bn_a = [rng.uniform(0.8, 1.2, k.shape[-1]) for k in convs]
+    bn_b = [rng.uniform(-0.2, 0.2, k.shape[-1]) for k in convs]
+
+    cfs = runner.infer_features(x, convs, bn_a, bn_b,
+                                init_pow=4.0, mid_pow=4.0)
+
+    y = conv_bn_relu_plain(x, convs[0], bn_a[0], bn_b[0])
+    y = conv_bn_relu_plain(y, convs[1], bn_a[1], bn_b[1], stride=2)
+    y = y[:7, :7]
+    y = conv_bn_relu_plain(y, convs[2], bn_a[2], bn_b[2])
+    feat = y.mean(axis=(0, 1))
+
+    mb = PARAMS.n // 64
+    kw = 7
+    ctr = (kw // 2) * 8 * mb + (kw // 2) * mb
+    got = cfs[ctr: ctr + b1]
+
+    err = np.max(np.abs(got - feat))
+    assert err < 0.1, f"feature err {err}: {got} vs {feat}"
+    assert np.max(np.abs(feat)) > 0.02
