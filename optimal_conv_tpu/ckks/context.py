@@ -94,8 +94,11 @@ class _KeyCache:
     def _trim(self):
         if self.nbytes <= self.max_bytes:
             return
-        # first pressure valve: re-compress cold keys (drop d1_cache)
-        for swk in list(self.d.values()):
+        # first pressure valve: re-compress cold keys (drop d1_cache).
+        # NEVER touch the most-recent entry — it may be the key being
+        # expanded right now (its caller holds no other reference).
+        vals = list(self.d.values())
+        for swk in vals[:-1]:
             if self.nbytes <= self.max_bytes:
                 return
             if swk.d1 is None and swk.d1_cache is not None:
@@ -291,6 +294,9 @@ class CkksContext:
                     d1 = nttmod.apply_galois_ntt(d1, swk.perm)
                 swk.d1_cache = d1
             self._swk_cache.note_expand(swk)
+            # return the LOCAL reference: under extreme memory pressure
+            # _trim may immediately re-compress this key (d1_cache→None)
+            return d1
         return swk.d1_cache
 
     def relin_key(self, level: int) -> SwitchingKey:

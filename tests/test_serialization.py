@@ -78,3 +78,24 @@ def test_key_mismatch_rejected(tmp_path):
     other = CkksContext(p, seed=4)
     with pytest.raises(AssertionError):
         ser.load_keys(path, other)
+
+
+def test_key_cache_pressure_returns_valid_d1():
+    """Under extreme memory pressure _trim may re-compress the key being
+    expanded; swk_d1 must still hand the caller a concrete array (round-2
+    regression: returned None mid-trace at logN=16 CtoS)."""
+    from optimal_conv_tpu.ckks.params import tiny_params
+    from optimal_conv_tpu.ckks.context import CkksContext
+
+    p = tiny_params(log_n=8, levels=3)
+    ctx = CkksContext(p, seed=5)
+    ctx._compress_keys = True
+    ctx._swk_cache.max_bytes = 1          # everything over budget
+    swk = ctx.galois_key_hoisted(5, p.max_level)
+    d1 = ctx.swk_d1(swk)
+    assert d1 is not None and d1.shape == swk.d0.shape
+    # and again after the memo was dropped by the trim
+    d1b = ctx.swk_d1(swk)
+    assert d1b is not None
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
