@@ -31,11 +31,11 @@ WIDTHS = [128, 64, 32, 16, 8]
 
 
 def _precision_stats(want: np.ndarray, have: np.ndarray) -> str:
-    """log2-error distribution, the reference's GetPrecisionStatsPlain."""
-    err = np.abs(np.asarray(want) - np.asarray(have)) + 1e-300
-    lg = -np.log2(err)
-    return (f"prec (log2): avg {lg.mean():6.2f}  min {lg.min():6.2f}  "
-            f"max {lg.max():6.2f}")
+    """log2-error distribution, the reference's GetPrecisionStatsPlain
+    (avg/min/max/median/quartiles + cumulative bucket table)."""
+    from .ops.debug import precision_stats
+
+    return precision_stats(want, have, distribution=True)
 
 
 def run_conv_bl(ker_wid: int, i_batch: int, n_tests: int, boot: bool) -> None:
@@ -224,7 +224,7 @@ def run_conv(ker_wid: int, i_batch: int, n_tests: int, boot: bool,
 
 
 def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
-               cf100: bool, fast: bool = False) -> None:
+               cf100: bool, fast: bool = False, debug: bool = False) -> None:
     from .ckks.params import boot_params
     from .ckks.context import CkksContext
     from .models.plain import random_weights, plain_forward
@@ -256,6 +256,19 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
             image = np.loadtxt(img_file).reshape(raw0, raw0, 3)
         else:
             image = rng.uniform(-1, 1, (raw0, raw0, 3))
+        if debug:
+            # packed-input matrix view (/root/reference/test.go:151)
+            from .ops.debug import prt_mat
+
+            mb0 = runner.max_batch if fast else runner.max_batch[0]
+            norm0 = runner.norm[0]
+            inp = np.zeros(params.n)
+            w0 = cfg.in_wids[0]
+            for b in range(3):
+                blk = np.zeros((w0, w0))
+                blk[:raw0, :raw0] = image[..., b]
+                inp[b * norm0::mb0] = blk.ravel()
+            prt_mat(inp, mb0, show=3, norm=norm0)
         timings: dict = {}
         t0 = time.perf_counter()
         logits = runner.infer(image, w, timings)
@@ -299,7 +312,7 @@ def main(argv=None):
         cf100 = argv[5].lower() in ("true", "1") if len(argv) > 5 else False
         if depth not in (8, 14, 20):
             raise SystemExit("depth must be 8, 14 or 20")
-        run_resnet(ker, depth, wide, n, cf100, fast=fast)
+        run_resnet(ker, depth, wide, n, cf100, fast=fast, debug=debug)
     else:
         raise SystemExit(f"unknown command {cmd}")
     return 0

@@ -39,9 +39,15 @@ STRIDE_KINDS = ("StrConv", "StrConv_fast", "StrConv_odd", "StrConv_sparse",
 
 
 def precision_stats(want: np.ndarray, have: np.ndarray,
-                    mask: np.ndarray | None = None) -> str:
-    """log2-error distribution (GetPrecisionStatsPlain,
-    /root/reference/main.go:694-717)."""
+                    mask: np.ndarray | None = None,
+                    distribution: bool = False) -> str:
+    """log2-error stats (GetPrecisionStatsPlain,
+    /root/reference/main.go:694-717).
+
+    With distribution=True also reports the quartiles and a cumulative
+    count table over integer log2-precision buckets, like Lattigo's
+    PrecisionStats.String() that the reference prints after every
+    conv/convReLU run (main.go:683-716)."""
     want = np.asarray(want, dtype=float).ravel()
     have = np.asarray(have, dtype=float).ravel()
     if mask is not None:
@@ -49,8 +55,80 @@ def precision_stats(want: np.ndarray, have: np.ndarray,
         want, have = want[sel], have[sel]
     err = np.abs(want - have) + 1e-300
     lg = -np.log2(err)
-    return (f"prec (log2): avg {lg.mean():6.2f}  min {lg.min():6.2f}  "
+    line = (f"prec (log2): avg {lg.mean():6.2f}  min {lg.min():6.2f}  "
             f"max {lg.max():6.2f}")
+    if not distribution:
+        return line
+    q1, med, q3 = np.percentile(lg, (25, 50, 75))
+    line += f"  med {med:6.2f}  q1 {q1:6.2f}  q3 {q3:6.2f}"
+    # cumulative distribution: how many values reach >= b bits
+    lo = max(int(np.floor(lg.min())), int(np.floor(lg.mean())) - 8)
+    hi = int(np.ceil(lg.mean())) + 4
+    rows = []
+    for b in range(lo, hi + 1):
+        cnt = int(np.count_nonzero(lg >= b))
+        if cnt == 0:
+            break
+        rows.append(f"  >={b:3d} bits: {cnt:8d} ({100.0*cnt/len(lg):5.1f}%)")
+    return line + "\n" + "\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# Matrix views of the position-major packed layout (the reference's
+# prt_mat family, /root/reference/main.go:829-941): a packed vector holds
+# `batch` contiguous channel entries per spatial position, row-major over
+# a sqrt(len/batch)-wide grid; `norm` subsamples the channels (only every
+# norm-th slot carries a real value in sparse packing).
+
+
+def mat_view(vec: np.ndarray, batch: int, norm: int = 1) -> np.ndarray:
+    """[row, row, batch//norm] dense view of a packed vector."""
+    vec = np.asarray(vec)
+    row = int(np.sqrt(len(vec) // batch))
+    return vec[: row * row * batch].reshape(row, row, batch)[:, :, ::norm]
+
+
+def prt_mat(vec: np.ndarray, batch: int, show: int = 3, norm: int = 1,
+            half: bool = False) -> None:
+    """Print (i, j)-position channel rows; show=0 prints all, otherwise
+    only the show-wide corners (prt_mat/prt_mat_norm,
+    /root/reference/main.go:829-870)."""
+    m = mat_view(vec, batch, norm)
+    row = m.shape[0] // 2 if half else m.shape[0]
+    for j in range(1, row + 1):
+        for k in range(1, row + 1):
+            if show and not ((j <= show or j > row - show)
+                             and (k <= show or k > row - show)):
+                continue
+            vals = " ".join(f"{v:9.6f}" for v in m[j - 1, k - 1])
+            print(f"({j}, {k}): [{vals}]")
+    print(flush=True)
+
+
+def prt_mat_step(vec: np.ndarray, batch: int, norm: int, step: int,
+                 start: int = 0, show: int = 3, half: bool = False) -> None:
+    """Print only the step-grid positions (the fast regime's dilated
+    features; prt_mat_norm_step, /root/reference/main.go:875-898)."""
+    m = mat_view(vec, batch, norm)
+    row = m.shape[0] // 2 if half else m.shape[0]
+    for j in range(1, row + 1):
+        for k in range(1, row + 1):
+            if show and not ((j <= show * step or j > row - show * step)
+                             and (k <= show * step or k > row - show * step)):
+                continue
+            if (j - start) % step or (k - start) % step:
+                continue
+            vals = " ".join(f"{v:9.6f}" for v in m[j - 1, k - 1])
+            print(f"({(j - start) // step + 1}, {(k - start) // step + 1}): "
+                  f"[{vals}]")
+    print(flush=True)
+
+
+def mat_one(vec: np.ndarray, batch: int, sj: int, sk: int,
+            norm: int = 1) -> np.ndarray:
+    """Channel vector at the 1-based position (sj, sk)
+    (prt_mat_one/prt_mat_one_norm, /root/reference/main.go:902-940)."""
+    return mat_view(vec, batch, norm)[sj - 1, sk - 1]
 
 
 class DebugOracle:

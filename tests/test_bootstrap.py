@@ -84,3 +84,33 @@ def test_sparse_bootstrap_roundtrip(ctx):
     out = btp.stoc(folded, None)
     got = ctx.decrypt_decode_coeffs(out)
     np.testing.assert_allclose(got, v, atol=3e-2)
+
+
+def test_evalmod_poly_at_bettersine_grade():
+    """C17: the production EvalMod composite (deg-63 cosine Chebyshev +
+    2 double-angles, K=25, message ratio 2^-8) must approximate
+    sin(2pi K y) with error BELOW the sine-linearization floor
+    (~(2pi/256)^3/6/(2pi) = 3.9e-7) — i.e. the polynomial is not the
+    precision limiter, matching Lattigo's bettersine/Cos1 configuration
+    at the same depth (the fork's DefaultBootstrapParams[6]:
+    SinDeg 63, SinRescal 2, MessageRatio 256, ArcSineDeg 0)."""
+    K, r, deg = 25.0, 2, 63
+    freq = 2 * np.pi * K / (1 << r)
+
+    def g(y):
+        return np.cos(freq * y - np.pi / 2 / (1 << r))
+
+    cheb = np.polynomial.chebyshev.Chebyshev.interpolate(
+        g, deg, domain=[-1.0, 1.0])
+    eps = np.linspace(-2.0 ** -8, 2.0 ** -8, 201)
+    poly_err = 0.0
+    total_err = 0.0
+    for i in range(-24, 25):
+        c = cheb((i + eps) / K)
+        for _ in range(r):
+            c = 2 * c * c - 1
+        poly_err = max(poly_err, np.max(np.abs(c - np.sin(2 * np.pi * eps))))
+        total_err = max(total_err, np.max(np.abs(c / (2 * np.pi) - eps)))
+    sine_floor = np.max(np.abs((2 * np.pi * eps) ** 3 / 6)) / (2 * np.pi)
+    assert poly_err < sine_floor / 5, (poly_err, sine_floor)
+    assert total_err < 1.2 * sine_floor, (total_err, sine_floor)

@@ -117,3 +117,37 @@ def test_oracle_conv_inside(ctx):
                       in_wid, kp_wid, kw, mb, mb, 1, 0, step, 2, 0,
                       "Conv_inside", maps, debug_hook=oracle)
     check_history(oracle)
+
+
+def test_prt_mat_views(capsys):
+    """mat_view/mat_one/prt_mat mirror the reference's prt_mat family
+    (position-major layout, 1-based positions, norm channel stride)."""
+    from optimal_conv_tpu.ops.debug import mat_view, mat_one, prt_mat, \
+        prt_mat_step
+
+    row, batch, norm = 8, 16, 4
+    vec = np.arange(row * row * batch, dtype=float)
+    m = mat_view(vec, batch, norm)
+    assert m.shape == (row, row, batch // norm)
+    # position (j,k) holds the contiguous channel block, norm-strided
+    j, k = 3, 5
+    base = ((j - 1) * row + (k - 1)) * batch
+    assert np.array_equal(m[j - 1, k - 1], vec[base: base + batch: norm])
+    assert np.array_equal(mat_one(vec, batch, j, k, norm),
+                          vec[base: base + batch: norm])
+    prt_mat(vec, batch, show=2, norm=norm)
+    out = capsys.readouterr().out
+    assert "(1, 1):" in out and "(8, 8):" in out and "(4, 4):" not in out
+    prt_mat_step(vec, batch, norm, step=2, start=1, show=2)
+    out = capsys.readouterr().out
+    assert "(1, 1):" in out
+
+
+def test_precision_stats_distribution():
+    from optimal_conv_tpu.ops.debug import precision_stats
+
+    want = np.zeros(1000)
+    have = np.full(1000, 2.0 ** -20)
+    s = precision_stats(want, have, distribution=True)
+    assert "med" in s and ">=" in s and "100.0%" in s
+    assert "avg  20.00" in s
