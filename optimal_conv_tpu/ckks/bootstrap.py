@@ -180,6 +180,62 @@ def _build_inner(ctx: CkksContext, level: int, identity: bool = False):
     return f
 
 
+def plan_lt_shapes(params, log_sparse: int = 0,
+                   stoc_level: int | None = None) -> list:
+    """Every (level, n_babies, sel_len, identity) lt_inner shape a
+    ``SplitBootstrapper(log_sparse)`` will jit — host math only (no ctx,
+    keys, plaintexts, or device work), for aot_warm cache prewarming.
+
+    Mirrors the CtoS/StoC group walk of SplitBootstrapper.__init__ and
+    the baby/giant split of LinearTransform.__init__ exactly (the jitted
+    kernel's shape is determined purely by the diagonal key structure)."""
+    lay = params.boot_layout
+    assert lay is not None
+    n = params.slots
+    log_nsub = params.log_slots - log_sparse
+    n_sub = 1 << log_nsub
+    reps = params.slots // n_sub
+
+    def shapes_of(diags_keys, level):
+        keys = sorted({k % n for k in diags_keys})
+        bs = 1 << max((int(np.ceil(np.sqrt(len(keys)))) - 1).bit_length(), 0)
+        plan: dict[int, list[int]] = {}
+        for kk in keys:
+            g, r = divmod(kk, bs)
+            plan.setdefault(g * bs, []).append(r)
+        babies = sorted({r for rs in plan.values() for r in rs})
+        bidx = {r: i for i, r in enumerate(babies)}
+        out = set()
+        for g, rs in sorted(plan.items()):
+            sel = [bidx[r] for r in sorted(rs)]
+            ident = sel == list(range(len(babies)))
+            out.add((level, len(babies), len(sel), ident))
+        return out
+
+    shapes: set = set()
+    enc_st = [dft.tile(s, reps) for s in dft.encode_stages(log_nsub)]
+    n_ctos_levels = lay["ctos"][1] - lay["ctos"][0]
+    ctos_groups = n_ctos_levels - (1 if log_sparse > 0 else 0)
+    lvl = params.max_level
+    for gdiags in dft.group_stages(enc_st, ctos_groups, n):
+        shapes |= shapes_of(gdiags.keys(), lvl)
+        lvl -= 1
+
+    dec_st = [dft.tile(s, reps) for s in dft.decode_stages(log_nsub)]
+    if log_sparse > 0:
+        ones = np.ones(n)
+        dec_st = [{0: ones, n_sub: ones}] + dec_st
+    n_stoc_levels = lay["stoc"][1] - lay["stoc"][0]
+    stoc_groups = lay.get("stoc_groups", n_stoc_levels)
+    st_lvl = (lay["stoc"][1] - 1) if stoc_level is None else stoc_level
+    double_top = stoc_groups - n_stoc_levels if stoc_level is None else 0
+    for gi, gdiags in enumerate(dft.group_stages(dec_st, stoc_groups, n)):
+        shapes |= shapes_of(gdiags.keys(), st_lvl)
+        if gi >= double_top:
+            st_lvl -= 1
+    return sorted(shapes)
+
+
 # ---------------------------------------------------------------------------
 # Split bootstrapper
 # ---------------------------------------------------------------------------

@@ -812,16 +812,22 @@ class CkksContext:
             t0 = time.perf_counter()
             jax.jit(build(level), donate_argnums=don).lower(*args).compile()
             out[op] = time.perf_counter() - t0
-        # LinearTransform inner kernels: one per distinct baby count
-        # (the formerly-unwarmed dominant kernel — ADVICE r1); identity
-        # selection is the common dense-BSGS case
+        # LinearTransform inner kernels: one per distinct
+        # (n_babies, sel_len, identity) shape (the formerly-unwarmed
+        # dominant kernel — ADVICE r1).  Entries may be bare ints
+        # (dense identity selection) or (nb, sel_len, ident) tuples as
+        # produced by bootstrap.plan_lt_shapes.
         from .bootstrap import _build_inner
-        for nb in lt_babies:
+        for spec in lt_babies:
+            nb, sl, ident = (spec if isinstance(spec, tuple)
+                             else (spec, spec, True))
             t0 = time.perf_counter()
             cta = u64(nb, nq, n)
-            jax.jit(_build_inner(self, level, True)).lower(
-                cta, cta, i32b(nb), cta).compile()
-            out[f"lt_inner{nb}"] = time.perf_counter() - t0
+            pts = u64(sl, nq, n)
+            jax.jit(_build_inner(self, level, ident)).lower(
+                cta, cta, i32b(sl), pts).compile()
+            out[f"lt_inner{nb}_{sl}{'i' if ident else ''}"] = (
+                time.perf_counter() - t0)
         return out
 
     # ------------------------------------------------------------------

@@ -22,12 +22,18 @@ Layout conventions:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import modmath as mm
+
+# 'auto' backend: widest limb stack the four-step MXU transform may
+# take per call (see NttContext._resolved_backend); wider calls use the
+# compile-light looped backend.
+_MXU_MAX_LIMBS = int(os.environ.get("OPTCONV_MXU_MAX_LIMBS", "12"))
 
 
 def bit_reverse_perm(n: int) -> np.ndarray:
@@ -116,8 +122,9 @@ class NttContext:
         #                executable at logN≥14 (measured 6 min for a bare
         #                [34, 2^16] forward transform).
         #   'xla_loop' — fori_loop uniform stages (see _ntt_fwd_loop):
-        #                compile-light, ~1.5-2× runtime; default at
-        #                logN ≥ 14 where cold-compile dominates.
+        #                compile-light, ~1.5-2× runtime; 'auto' picks it
+        #                per call for wide limb stacks at logN ≥ 14
+        #                (_resolved_backend).
         #   'pallas'   — fused Mosaic kernels (core/pallas_ntt.py):
         #                bit-exact but measured slower on this backend and
         #                recompiled per enclosing executable; opt-in only.
@@ -140,10 +147,26 @@ class NttContext:
         self._loop_cache: dict = {}
         self._mxu_tabs = None
 
-    def _resolved_backend(self) -> str:
+    def _resolved_backend(self, idx: tuple[int, ...] | None = None) -> str:
+        """Backend for one transform call over `idx` limbs.
+
+        'auto' resolves PER CALL at logN≥14: the four-step MXU transform
+        compiles fast and runs fastest on narrow limb sets, but its
+        byte-plane HLO grows superlinearly with limb count on the remote
+        XLA-TPU helper (measured: level-27 [34,2^16] decompose-NTT never
+        finished in 50 min as MXU vs 24 s as the looped backend) — so
+        wide stacks (bootstrap CtoS/EvalMod regions) take the
+        compile-light uniform-stage loop and narrow ones (conv/pack/StoC
+        levels, the latency-critical hot path) keep the MXU form.  All
+        backends are bit-identical (tests/test_mxu_ntt.py,
+        test_ntt_loop.py), so mixing per call is safe."""
         if self.backend != "auto":
             return self.backend
-        return "mxu" if self.log_n >= 14 else "xla"
+        if self.log_n < 14:
+            return "xla"
+        if idx is not None and len(idx) <= _MXU_MAX_LIMBS:
+            return "mxu"
+        return "xla_loop"
 
     def _mxu(self):
         if self._mxu_tabs is None:
@@ -152,11 +175,11 @@ class NttContext:
                                                   self.psi)
         return self._mxu_tabs
 
-    def _pallas_active(self) -> bool:
-        return self._resolved_backend() == "pallas" and self.log_n >= 8
+    def _pallas_active(self, idx: tuple[int, ...] | None = None) -> bool:
+        return self._resolved_backend(idx) == "pallas" and self.log_n >= 8
 
-    def _loop_active(self) -> bool:
-        return (self._resolved_backend() == "xla_loop"
+    def _loop_active(self, idx: tuple[int, ...] | None = None) -> bool:
+        return (self._resolved_backend(idx) == "xla_loop"
                 and self.log_n > _LOG_B)
 
     def _loop_tabs(self, idx: tuple[int, ...]):
@@ -207,16 +230,16 @@ class NttContext:
         (static); defaults to the first l limbs.
         """
         idx = tuple(range(a.shape[-2])) if idx is None else idx
-        if self._pallas_active():
+        if self._pallas_active(idx):
             import jax as _jax
             from . import pallas_ntt
             interp = _jax.devices()[0].platform != "tpu"
             return pallas_ntt.transform(a, idx, self._ptabs(), False, interp)
-        if self._loop_active():
+        if self._loop_active(idx):
             twA, f2, f1, _, _, _, _ = self._loop_tabs(idx)
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_fwd_loop(a, twA, f2, f1, q, qinv, self.log_n)
-        if self._resolved_backend() == "mxu":
+        if self._resolved_backend(idx) == "mxu":
             return self._mxu_transform(a, idx, inverse=False)
         q, qinv, _, _, psi, _, _ = self.tabs(idx)
         return _ntt_fwd(a, psi, q, qinv, self.log_n)
@@ -224,17 +247,17 @@ class NttContext:
     def intt(self, a: jnp.ndarray, idx: tuple[int, ...] | None = None) -> jnp.ndarray:
         """Inverse negacyclic NTT.  a: [..., l, N] bit-rev → natural order."""
         idx = tuple(range(a.shape[-2])) if idx is None else idx
-        if self._pallas_active():
+        if self._pallas_active(idx):
             import jax as _jax
             from . import pallas_ntt
             interp = _jax.devices()[0].platform != "tpu"
             return pallas_ntt.transform(a, idx, self._ptabs(), True, interp)
-        if self._loop_active():
+        if self._loop_active(idx):
             _, _, _, itwB2, itwB1, itwA, ninv = self._loop_tabs(idx)
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv,
                                  self.log_n)
-        if self._resolved_backend() == "mxu":
+        if self._resolved_backend(idx) == "mxu":
             return self._mxu_transform(a, idx, inverse=True)
         q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
         return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)

@@ -39,6 +39,10 @@ def main():
                     help="compile-only warm (no device memory/execution)")
     ap.add_argument("--ops", type=str, default=None,
                     help="comma-separated aot op subset (default: all)")
+    ap.add_argument("--lt", type=str, default=None,
+                    help="comma-separated log_sparse list: aot-compile "
+                         "every LinearTransform inner kernel those "
+                         "bootstrappers will jit (plan_lt_shapes)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +65,23 @@ def main():
         levels = [int(x) for x in args.levels.split(",")]
 
     rng = np.random.default_rng(0)
+
+    if args.lt:
+        from optimal_conv_tpu.ckks.bootstrap import plan_lt_shapes
+
+        by_level: dict[int, list] = {}
+        for ls in (int(x) for x in args.lt.split(",")):
+            for lvl, nb, sl, ident in plan_lt_shapes(params, ls):
+                spec = (nb, sl, ident)
+                if spec not in by_level.setdefault(lvl, []):
+                    by_level[lvl].append(spec)
+        for lvl in sorted(by_level, reverse=True):
+            t0 = time.perf_counter()
+            times = ctx.aot_warm(lvl, ops=(), lt_babies=tuple(by_level[lvl]))
+            detail = " ".join(f"{k}:{v:.0f}s" for k, v in times.items())
+            print(f"level {lvl} lt-warmed in "
+                  f"{time.perf_counter() - t0:.1f}s  ({detail})", flush=True)
+        return
 
     if args.aot:
         kw = {}

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--seed", type=int, default=2)
+    ap.add_argument("--trace", type=str, default=None, metavar="DIR",
+                    help="capture a JAX profiler trace of the first "
+                         "inference into DIR (view with tensorboard / "
+                         "xprof; SURVEY §5 tracing parity)")
     args = ap.parse_args()
 
     import jax
@@ -74,11 +78,16 @@ def main():
     w.fc_b = w.fc_b * 2.0
     rng = np.random.default_rng(args.seed)
     raw0 = cfg.raw_in_wids[0]
+    import contextlib
+
     for it in range(args.n):
         image = rng.uniform(-1, 1, (raw0, raw0, 3))
         timings = {}
+        trace_ctx = (jax.profiler.trace(args.trace)
+                     if args.trace and it == 0 else contextlib.nullcontext())
         t0 = time.perf_counter()
-        logits = runner.infer(image, w, timings)
+        with trace_ctx:
+            logits = runner.infer(image, w, timings)
         total = time.perf_counter() - t0
         plain = plain_forward(w, image, args.depth, cfg.raw_in_wids)
         print(f"Blc1: {timings['blc1']:.1f}s  Blc1->2: {timings['blc1to2']:.1f}s  "

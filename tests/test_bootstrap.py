@@ -114,3 +114,21 @@ def test_evalmod_poly_at_bettersine_grade():
     sine_floor = np.max(np.abs((2 * np.pi * eps) ** 3 / 6)) / (2 * np.pi)
     assert poly_err < sine_floor / 5, (poly_err, sine_floor)
     assert total_err < 1.2 * sine_floor, (total_err, sine_floor)
+
+
+@pytest.mark.parametrize("ls", [0, 1, 2])
+def test_plan_lt_shapes_matches_real_bootstrapper(ctx, ls):
+    """plan_lt_shapes (host-only prewarm planning) must predict exactly
+    the (level, n_babies, sel_len, identity) shapes the real
+    bootstrapper's LinearTransforms jit at runtime."""
+    from optimal_conv_tpu.ckks.bootstrap import plan_lt_shapes
+
+    btp = boot(ctx, ls)
+    real = set()
+    for lt in btp.ctos_lt + btp.stoc_lt:
+        nb = len(lt.babies)
+        for _, sel, _ in lt.stacked:
+            ident = len(sel) == nb and np.array_equal(sel, np.arange(nb))
+            real.add((lt.level, nb, len(sel), bool(ident)))
+    planned = set(plan_lt_shapes(PARAMS, ls))
+    assert planned == real, (sorted(planned), sorted(real))

@@ -54,3 +54,20 @@ def test_backend_env_validation(monkeypatch):
     monkeypatch.setenv("OPTCONV_NTT_BACKEND", "bogus")
     with pytest.raises(ValueError):
         nttmod.NttContext(mm.gen_ntt_primes(8, [40]), 8)
+
+
+def test_auto_backend_resolves_per_call():
+    """'auto' at logN>=14 takes MXU for narrow limb stacks (fast compile
+    AND fastest runtime) but the compile-light looped backend for wide
+    ones (the MXU byte-plane HLO explodes on the remote helper at
+    bootstrap-region widths — measured level-27 decntt >50min vs 24s)."""
+    from optimal_conv_tpu.core.ntt import NttContext, _MXU_MAX_LIMBS
+
+    c = NttContext([65537], 14)      # 65536 = 2^16 | q-1: negacyclic ok
+    assert c.backend == "auto"
+    assert c._resolved_backend(tuple(range(2))) == "mxu"
+    assert c._resolved_backend(tuple(range(_MXU_MAX_LIMBS))) == "mxu"
+    assert c._resolved_backend(tuple(range(_MXU_MAX_LIMBS + 1))) == "xla_loop"
+    assert c._resolved_backend(None) == "xla_loop"
+    c14 = NttContext([65537], 10)
+    assert c14._resolved_backend(tuple(range(20))) == "xla"
