@@ -77,7 +77,7 @@ class LinearTransform:
 
     def __init__(self, ctx: CkksContext, diags: dict[int, np.ndarray],
                  level: int, pt_scale: float | None = None,
-                 rescale: bool = True):
+                 rescale: bool = True, double_hoist: bool | None = None):
         """rescale=False: leave the product at `level` with scale
         ct.scale·pt_scale — the fork's StC packs TWO DFT matrices onto
         one 60-bit level, each at scale 2^30
@@ -86,6 +86,7 @@ class LinearTransform:
         self.ctx = ctx
         self.level = level
         self.rescale = rescale
+        self.dh = dh_default() if double_hoist is None else double_hoist
         p = ctx.params
         n = p.slots
         if not diags:
@@ -100,8 +101,10 @@ class LinearTransform:
         plan: dict[int, dict[int, Plaintext]] = {}
         for kk, v in norm.items():
             g, r = divmod(kk, self.bs)
+            # double-hoist: plaintexts carry the P-limb residues too (the
+            # inner products run in the QP basis; +num_p/nq pt memory)
             pt = ctx.encoder.encode_slots(np.roll(v, g * self.bs),
-                                          self.pt_scale, level)
+                                          self.pt_scale, level, qp=self.dh)
             plan.setdefault(g * self.bs, {})[r] = pt
         self.babies = sorted({r for d in plan.values() for r in d})
         # pre-stack plaintexts per giant for the fused inner sum; the
@@ -118,12 +121,23 @@ class LinearTransform:
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
         """BSGS apply: hoisted baby rotations, then per giant one fused
-        (Σ_r rot_r(ct)·pt_{g,r}) kernel, giant rotation, accumulate."""
+        (Σ_r rot_r(ct)·pt_{g,r}) kernel, giant rotation, accumulate.
+
+        double_hoist: the babies skip their mod-downs (ctx.
+        rotate_hoisted_lazy) — the giant's fused inner kernel multiplies
+        the QP-basis keyswitch accumulators by QP-encoded plaintexts and
+        divides by P once per GIANT (Bossuat et al. 2021)."""
         ctx = self.ctx
         assert ct.level == self.level, (ct.level, self.level)
-        rots = ctx.rotate_hoisted(ct, self.babies)
-        c0all = jnp.stack([rots[r].c0 for r in self.babies])
-        c1all = jnp.stack([rots[r].c1 for r in self.babies])
+        if self.dh:
+            lazy = ctx.rotate_hoisted_lazy(ct, self.babies)
+            c0all = jnp.stack([lazy[r][0] for r in self.babies])
+            c1all = jnp.stack([lazy[r][1] for r in self.babies])
+            c2all = jnp.stack([lazy[r][2] for r in self.babies])
+        else:
+            rots = ctx.rotate_hoisted(ct, self.babies)
+            c0all = jnp.stack([rots[r].c0 for r in self.babies])
+            c1all = jnp.stack([rots[r].c1 for r in self.babies])
         p = ctx.params
         scale = ct.scale * self.pt_scale
         nq, nqp = self.level + 1, self.level + 1 + p.num_p
@@ -137,9 +151,16 @@ class LinearTransform:
             # babies) skips the gather of the stacked rotation tensor
             ident = len(sel) == n_babies and np.array_equal(
                 sel, np.arange(n_babies))
-            inner_f = ctx._jitted(("lt_inner", self.level, ident),
-                                  lambda: _build_inner(ctx, self.level, ident))
-            i0, i1 = inner_f(c0all, c1all, jnp.asarray(sel), pts)
+            if self.dh:
+                inner_f = ctx._jitted(
+                    ("lt_inner_dh", self.level, ident),
+                    lambda: _build_inner_dh(ctx, self.level, ident))
+                i0, i1 = inner_f(c0all, c1all, c2all, jnp.asarray(sel), pts)
+            else:
+                inner_f = ctx._jitted(
+                    ("lt_inner", self.level, ident),
+                    lambda: _build_inner(ctx, self.level, ident))
+                i0, i1 = inner_f(c0all, c1all, jnp.asarray(sel), pts)
             if g == 0:
                 g0 = (i0, i1)
                 continue
@@ -176,6 +197,53 @@ def _build_inner(ctx: CkksContext, level: int, identity: bool = False):
             a0 = mm.add_mod(a0, t0[i], q)
             a1 = mm.add_mod(a1, t1[i], q)
         return a0, a1
+
+    return f
+
+
+def dh_default() -> bool:
+    """Double-hoisted BSGS default (env OPTCONV_DOUBLE_HOIST, on unless
+    set to 0): baby rotations stay in the QP basis, mod-down runs once
+    per giant instead of once per baby (Bossuat et al. 2021 §3.2 —
+    the Lattigo-lineage optimization the fork's RotateHoisted call sites
+    imply, /root/reference/conv.go:133).  Cost: +num_p/nq plaintext
+    memory (the P-limb rows) and the inner products run over nqp limbs."""
+    import os
+    return os.environ.get("OPTCONV_DOUBLE_HOIST", "1") != "0"
+
+
+def _build_inner_dh(ctx: CkksContext, level: int, identity: bool = False):
+    """Fused double-hoisted giant inner sum + per-giant mod-down:
+
+        (Σ_r φ_r(c0)·pt_r  +  (Σ_r acc0_r·pt_r)/P,   (Σ_r acc1_r·pt_r)/P)
+
+    c0qall is Q-basis [nb, nq, N]; a0all/a1all are the QP-basis lazy
+    keyswitch accumulators [nb, nqp, N]; pts is QP-encoded (its first nq
+    rows are exactly the Q encoding, params.qp_idx = q_idx + p_idx).
+    Rounding: mod-down after the pt-mul differs from pt·mod-down by
+    < |pt| per coefficient — far below the keyswitch noise."""
+    p = ctx.params
+    q, qinv, _, _, _, _, _ = p.ntt.tabs(p.q_idx(level))
+    qq, qqinv, _, _, _, _, _ = p.ntt.tabs(p.qp_idx(level))
+    md = ctx._mod_down_builder(level)
+    nq = level + 1
+
+    def f(c0qall, a0all, a1all, sel, pts):
+        if identity:
+            c0s, a0s, a1s = c0qall, a0all, a1all
+        else:
+            c0s = jnp.take(c0qall, sel, axis=0)
+            a0s = jnp.take(a0all, sel, axis=0)
+            a1s = jnp.take(a1all, sel, axis=0)
+        tq = mm.mont_mul(c0s, pts[:, :nq], q, qinv)
+        t0 = mm.mont_mul(a0s, pts, qq, qqinv)
+        t1 = mm.mont_mul(a1s, pts, qq, qqinv)
+        sq, s0, s1 = tq[0], t0[0], t1[0]
+        for i in range(1, pts.shape[0]):
+            sq = mm.add_mod(sq, tq[i], q)
+            s0 = mm.add_mod(s0, t0[i], qq)
+            s1 = mm.add_mod(s1, t1[i], qq)
+        return mm.add_mod(sq, md(s0), q), md(s1)
 
     return f
 

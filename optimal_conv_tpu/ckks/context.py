@@ -753,6 +753,72 @@ class CkksContext:
 
         return f
 
+    def rotate_hoisted_lazy(self, a: Ciphertext, rots: list[int]) -> dict:
+        """DOUBLE-hoisted baby rotations (Bossuat et al. 2021, as in
+        Lattigo's LinearTransform): decompose once, and per rotation skip
+        the mod-down entirely, returning the raw triple
+
+            (φ_k(c0) on Q_lvl,  acc0 on Q_lvl·P,  acc1 on Q_lvl·P)
+
+        BSGS callers multiply the triples by QP-encoded plaintexts, sum
+        per giant step, and divide by P ONCE per giant (2 mod-downs per
+        GIANT instead of 2 per BABY — the dominant per-rotation cost
+        after hoisting, ~half of the 50 ms hoisted rotate at logN=16)."""
+        p = self.params
+        lvl = a.level
+        dec = self._jitted(("decntt", lvl), lambda: self._dec_ntt_f(lvl))
+        digits_ntt = dec(a.c1)
+        froth = self._jitted(("hoistrotlz", lvl),
+                             lambda: self._hoistrot_lazy_f(lvl))
+        out = {}
+        for k in rots:
+            if k % p.slots == 0:
+                out[k] = self._jitted(
+                    ("hoistid", lvl),
+                    lambda: self._hoist_identity_f(lvl))(a.c0, a.c1)
+                continue
+            g = nttmod.rot_to_galois(k, p.log_n)
+            swk = self.galois_key_hoisted(g, lvl)
+            perm_ntt = jnp.asarray(nttmod.galois_perm_ntt(p.log_n, g))
+            out[k] = froth(a.c0, digits_ntt, perm_ntt,
+                           swk.d0, self.swk_d1(swk))
+        return out
+
+    def _hoistrot_lazy_f(self, lvl: int):
+        """Lazy hoisted rotation: pre-permuted key inner product on the
+        shared digits, NO mod-down; all three outputs permuted."""
+        core = self._ks_core_builder(lvl, input_ntt=True, lazy=True)
+
+        def f(c0, digs_ntt, perm_ntt, d0, d1):
+            a0, a1 = core(digs_ntt, d0, d1)
+            return (nttmod.apply_galois_ntt(c0, perm_ntt),
+                    nttmod.apply_galois_ntt(a0, perm_ntt),
+                    nttmod.apply_galois_ntt(a1, perm_ntt))
+
+        return f
+
+    def _hoist_identity_f(self, lvl: int):
+        """(c0, c1) → the lazy-triple form of the identity rotation:
+        a1 carries P·c1 on the Q rows and 0 on the P rows, so the
+        per-giant mod-down recovers c1 EXACTLY ((P·c1 − ext(0))·P⁻¹);
+        a0 = 0 (no keyswitch happened)."""
+        p = self.params
+        nq = lvl + 1
+        nqp = nq + p.num_p
+        q, qinv = self._qtabs(lvl)[:2]
+        # Montgomery form of the scalar P on each Q limb: P·R mod q_i
+        pm = jnp.asarray(np.array(
+            [(p.big_p % m) * ((1 << 64) % m) % m
+             for m in p.q_moduli[:nq]], dtype=np.uint64)[:, None])
+
+        def f(c0, c1):
+            top = mm.mont_mul(c1, pm, q, qinv)
+            a1 = jnp.concatenate(
+                [top, jnp.zeros((nqp - nq, p.n), jnp.uint64)], axis=0)
+            return c0, jnp.zeros((nqp, p.n), jnp.uint64), a1
+
+        return f
+
     # ------------------------------------------------------------------
     # AOT cache warming (compile-only, zero device memory)
     # ------------------------------------------------------------------
@@ -803,6 +869,9 @@ class CkksContext:
                       (ct, ct, ct, u64(nqp, n), u64(nqp, n)), ()),
             "rescale": (self._rescale_f, (ct, ct), ()),
             "mulct": (self._mulct_f, (ct, ct, ct, ct, key, key), ()),
+            "hoistrotlz": (self._hoistrot_lazy_f, (ct, dig, i64, key, key),
+                           ()),
+            "hoistid": (self._hoist_identity_f, (ct, ct), ()),
         }
         out = {}
         for op in ops:
@@ -817,15 +886,29 @@ class CkksContext:
         # dominant kernel — ADVICE r1).  Entries may be bare ints
         # (dense identity selection) or (nb, sel_len, ident) tuples as
         # produced by bootstrap.plan_lt_shapes.
-        from .bootstrap import _build_inner
+        from .bootstrap import _build_inner, _build_inner_dh, dh_default
+        dh = dh_default()
+        if lt_babies and dh:
+            # the babies feeding lt_inner_dh come from the lazy hoisted
+            # path — warm its kernels too (they replace "hoistrot")
+            for op in ("hoistrotlz", "hoistid"):
+                if op not in ops:
+                    build, args, don = specs[op]
+                    t0 = time.perf_counter()
+                    jax.jit(build(level)).lower(*args).compile()
+                    out[op] = time.perf_counter() - t0
         for spec in lt_babies:
             nb, sl, ident = (spec if isinstance(spec, tuple)
                              else (spec, spec, True))
             t0 = time.perf_counter()
-            cta = u64(nb, nq, n)
-            pts = u64(sl, nq, n)
-            jax.jit(_build_inner(self, level, ident)).lower(
-                cta, cta, i32b(sl), pts).compile()
+            if dh:
+                jax.jit(_build_inner_dh(self, level, ident)).lower(
+                    u64(nb, nq, n), u64(nb, nqp, n), u64(nb, nqp, n),
+                    i32b(sl), u64(sl, nqp, n)).compile()
+            else:
+                cta = u64(nb, nq, n)
+                jax.jit(_build_inner(self, level, ident)).lower(
+                    cta, cta, i32b(sl), u64(sl, nq, n)).compile()
             out[f"lt_inner{nb}_{sl}{'i' if ident else ''}"] = (
                 time.perf_counter() - t0)
         return out

@@ -104,8 +104,14 @@ class Encoder:
 
     def encode_slots(self, z: np.ndarray, scale: float, level: int,
                      log_slots: int | None = None, to_ntt: bool = True,
-                     mont: bool = True) -> Plaintext:
-        """Complex slot vector (len 2^log_slots) → plaintext."""
+                     mont: bool = True, qp: bool = False) -> Plaintext:
+        """Complex slot vector (len 2^log_slots) → plaintext.
+
+        qp=True: residues over the EXTENDED basis Q_level·P (the double-
+        hoisted BSGS path multiplies plaintexts into QP-basis keyswitch
+        accumulators before the per-giant mod-down — Bossuat et al. '21).
+        The first level+1 limb rows are identical to the qp=False
+        encoding (qp_idx = q_idx + p_idx)."""
         p = self.params
         ls = p.log_slots if log_slots is None else log_slots
         n = 1 << ls
@@ -116,8 +122,8 @@ class Encoder:
         v = np.zeros(p.n, dtype=np.float64)
         v[::gap] = c2n
         ints = np.round(v * scale)
-        res = self._ints_to_residues(ints, level)
-        return self._finalize(res, level, scale, to_ntt, mont)
+        res = self._ints_to_residues(ints, level, qp=qp)
+        return self._finalize(res, level, scale, to_ntt, mont, qp=qp)
 
     def decode_slots(self, poly_coeff: np.ndarray, scale: float,
                      log_slots: int | None = None) -> np.ndarray:
@@ -131,19 +137,21 @@ class Encoder:
 
     # ---- helpers --------------------------------------------------------
 
-    def _ints_to_residues(self, ints: np.ndarray, level: int) -> np.ndarray:
+    def _ints_to_residues(self, ints: np.ndarray, level: int,
+                          qp: bool = False) -> np.ndarray:
         p = self.params
-        mods = p.q_moduli[: level + 1]
+        idx = p.qp_idx(level) if qp else p.q_idx(level)
+        mods = [p.moduli[i] for i in idx]
         if np.abs(ints).max() < 2**62:
             return mm.centered_to_residues(ints.astype(np.int64), mods)
         big = np.array([int(x) for x in ints], dtype=object)
         return mm.centered_to_residues(big, mods)
 
     def _finalize(self, res: np.ndarray, level: int, scale: float,
-                  to_ntt: bool, mont: bool) -> Plaintext:
+                  to_ntt: bool, mont: bool, qp: bool = False) -> Plaintext:
         p = self.params
         poly = jnp.asarray(res)
-        idx = p.q_idx(level)
+        idx = p.qp_idx(level) if qp else p.q_idx(level)
         if to_ntt:
             poly = p.ntt.ntt(poly, idx)
         if mont:
