@@ -127,7 +127,17 @@ class ResNetRunner:
         return self.ctx.encrypt(pt)
 
     def infer(self, image: np.ndarray, w: ResNetWeights,
-              timings: dict | None = None) -> np.ndarray:
+              timings: dict | None = None,
+              ckpt_dir: str | None = None) -> np.ndarray:
+        """ckpt_dir: mid-inference ciphertext checkpointing — after each
+        fused layer the output ct is written to `ckpt_dir/layer.npz`
+        (overwriting the previous one), and an interrupted inference
+        resumes from the last completed layer on the next call.  Extends
+        the reference's per-SAMPLE resumability (gap-tolerant CSVs,
+        /root/reference/compare_final.py:43-45) down to per-LAYER — a
+        cold logN=16 run spends hours in XLA compiles, longer than one
+        driver session, so the flagship inference completes across
+        sessions (the ct is saved ENCRYPTED; nothing is decrypted)."""
         ctx, cfg = self.ctx, self.cfg
         n1, n2, n3 = NUM_BLOCKS[cfg.depth]
         raw = cfg.raw_in_wids
@@ -137,8 +147,25 @@ class ResNetRunner:
         t0 = time.perf_counter()
         tm = timings if timings is not None else {}
 
+        resume_li = -1
+        ckpt_path = None
+        if ckpt_dir is not None:
+            import os
+            os.makedirs(ckpt_dir, exist_ok=True)
+            ckpt_path = os.path.join(ckpt_dir, "layer.npz")
+            if os.path.exists(ckpt_path):
+                z = np.load(ckpt_path)
+                resume_li = int(z["li"])
+                resume_ct = Ciphertext(
+                    jnp.asarray(z["c0"]), jnp.asarray(z["c1"]),
+                    level=int(z["level"]), scale=float(z["scale"]))
+                print(f"  resuming after layer {resume_li} "
+                      f"(level {resume_ct.level})", flush=True)
+
         def layer(ct, li, in_idx, kind, pow_, maps, ls, real_ib, real_ob,
                   norm, n_iter=2):
+            if li <= resume_li:
+                return resume_ct if li == resume_li else ct
             t = time.perf_counter()
             out = eval_conv_bn_relu(
                 ctx, self.btps, ct, w.convs[li].ravel(), w.bn_a[li],
@@ -148,6 +175,10 @@ class ResNetRunner:
                 ls, kind, maps)
             print(f"  layer {li} ({kind}, ls={ls}) done in "
                   f"{time.perf_counter() - t:.1f}s", flush=True)
+            if ckpt_path is not None:
+                np.savez(ckpt_path, c0=np.asarray(out.c0),
+                         c1=np.asarray(out.c1), level=out.level,
+                         scale=out.scale, li=li)
             return out
 
         pow_ = cfg.init_pow
