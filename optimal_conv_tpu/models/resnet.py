@@ -18,10 +18,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..ckks.context import CkksContext
 from ..ckks.bootstrap import BootstrapperFamily
+from ..ckks.types import Ciphertext
 from ..ops import conv as convops
 from ..ops import repack as rp
 from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
@@ -276,6 +278,196 @@ class ResNetRunner:
         # logits at spatial position (kw/2+1, kw/2+1), channel stride norm
         mb = self.max_batch[2]
         ctr = (kw // 2) * cfg.in_wids[2] * mb + (kw // 2) * mb
+        return cfs[ctr: ctr + self.norm[2] * n_out: self.norm[2]]
+
+
+class WideFastResNetRunner:
+    """The wide fast-regime drivers ``Resnet_crop_fast_wide2/3``
+    (testResNet_crop_fast_wide_in, /root/reference/test.go:914-1207;
+    newContext branches /root/reference/main.go:264-345).
+
+    Geometry (reference values at logN=16 in parens):
+      block 1    plain full-pack "Conv" on the in_wids[0] grid (32),
+                 kp = raw[0], channels at stride norm[0]; opens
+                 3→init_batch→real_batch[0] (16→32 wide2 / 16→48 wide3)
+      blc1→2     "StrConv_odd" landing on the in_wids[1] grid (16) via
+                 gen_comprs_fast maps with kp = 2·raw[1]; wide2 = ONE
+                 conv with input-interleaved kernels at norm[0]/2,
+                 wide3 = even/odd out-channel halves at pack_pos 0 and
+                 2, summed (test.go:1060-1100)
+      block 2    "Conv_inside" on the in_wids[1] grid, step 1,
+                 keep_vec_stride(kp=raw[1]) masks, norm[1]
+      blc2→3     "StrConv_inside" step 2 with input-interleaved kernels
+                 (2·real_batch[1] → real_batch[2]), norm[2]
+      block 3    "Conv_inside" step 2, keep_vec_stride(kp=raw[2])
+      head       one (raw[1]|1)-wide replicated-tap conv on the
+                 in_wids[1] grid; logits at 1-based (kw/2+1, kw/2+1)
+                 stride norm[2] (prt_mat_one_norm, test.go:1195)
+
+    norm is fixed by the wide case — wide2: (2,4,2), wide3: (1,2,1) —
+    independent of real_batch (wide3 leaves max_batch−real_batch·norm
+    channel slots empty, test.go:958-971)."""
+
+    NORMS = {2: (2, 4, 2), 3: (1, 2, 1)}
+
+    def __init__(self, ctx: CkksContext, cfg: ResNetConfig,
+                 boot_kwargs: dict | None = None):
+        assert cfg.wide in (2, 3), "WideFastResNetRunner needs wide 2 or 3"
+        self.ctx = ctx
+        self.cfg = cfg
+        p = ctx.params
+        n = p.n
+        w0, w1 = cfg.in_wids[0], cfg.in_wids[1]
+        self.max_batch = [n // (w * w) for w in (w0, w1, w1)]
+        self.norm = list(self.NORMS[cfg.wide])
+        rb = cfg.real_batch
+        assert all(b * nm <= mb for b, nm, mb
+                   in zip(rb, self.norm, self.max_batch))
+        raw = cfg.raw_in_wids
+        self.steps = (1, 1, 2)
+        vec = n // 2
+
+        # block 1: full-pack keep masks on the w0 grid
+        self.keep_maps = [LayerMaps(ext_idx=[
+            rp.gen_keep_vec(vec, w0, raw[0], 0),
+            rp.gen_keep_vec(vec, w0, raw[0], 1)])]
+        # blocks 2/3: stride-step keep masks on the w1 grid
+        for i in (1, 2):
+            odd = raw[i] % 2 == 1
+            self.keep_maps.append(LayerMaps(ext_idx=[
+                rp.gen_keep_vec_stride(vec, w1, raw[i], self.steps[i], 0, odd),
+                rp.gen_keep_vec_stride(vec, w1, raw[i], self.steps[i], 1,
+                                       odd)]))
+        # blc1→2 StrConv_odd maps (pos 0; wide3 also pos 2)
+        self.str_maps = {}
+        for pos in (0,) if cfg.wide == 2 else (0, 2):
+            m0, r0 = rp.gen_comprs_fast(vec, w0, 2 * raw[1], pos, 0)
+            m1, r1 = rp.gen_comprs_fast(vec, w0, 2 * raw[1], pos, 1)
+            self.str_maps[pos] = LayerMaps(m_idx=m0, r_idx=r0,
+                                           m_idx_l=m1, r_idx_l=r1)
+        self.btps = BootstrapperFamily(ctx, boot_kwargs)
+
+    def encrypt_image(self, image: np.ndarray):
+        cfg, p = self.cfg, self.ctx.params
+        w0, mb = cfg.in_wids[0], self.max_batch[0]
+        raw0 = cfg.raw_in_wids[0]
+        inp = np.zeros(p.n)
+        for b in range(image.shape[-1]):
+            blk = np.zeros((w0, w0))
+            blk[:raw0, :raw0] = image[..., b]
+            inp[b * self.norm[0]::mb] = blk.ravel()
+        pt = self.ctx.encoder.encode_coeffs(inp, p.scale, 1)
+        return self.ctx.encrypt(pt)
+
+    def infer(self, image: np.ndarray, w: ResNetWeights,
+              timings: dict | None = None) -> np.ndarray:
+        ctx, cfg = self.ctx, self.cfg
+        n1, n2, n3 = NUM_BLOCKS[cfg.depth]
+        raw = cfg.raw_in_wids
+        rb = cfg.real_batch
+        w0, w1 = cfg.in_wids[0], cfg.in_wids[1]
+        interleave = FastResNetRunner._interleave_ker
+        ct = self.encrypt_image(image)
+        li = 0
+        tm = timings if timings is not None else {}
+        t0 = time.perf_counter()
+
+        def layer(ct, li, kind, pow_, ker, bn_a, bn_b, in_wid, kp, real_ib,
+                  real_ob, norm, step, maps):
+            t = time.perf_counter()
+            out = eval_conv_bn_relu(
+                ctx, self.btps, ct, ker.ravel(), bn_a, bn_b, cfg.alpha, pow_,
+                in_wid, kp, cfg.ker_wid, real_ib, real_ob, norm, 0, step, 2,
+                0, kind, maps)
+            print(f"  wide{cfg.wide} layer {li} ({kind}) done in "
+                  f"{time.perf_counter() - t:.1f}s", flush=True)
+            return out
+
+        pow_ = cfg.init_pow
+        for _ in range(n1):
+            ct = layer(ct, li, "Conv", pow_, w.convs[li], w.bn_a[li],
+                       w.bn_b[li], w0, raw[0], w.convs[li].shape[2],
+                       w.convs[li].shape[3], self.norm[0], 1,
+                       self.keep_maps[0])
+            pow_ = cfg.mid_pow
+            li += 1
+        tm["blc1"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        ker = w.convs[li]
+        if cfg.wide == 2:
+            # one conv over interleaved inputs (i → 2i) at norm[0]/2
+            ct = layer(ct, li, "StrConv_odd", pow_, interleave(ker),
+                       w.bn_a[li], w.bn_b[li], w0, 2 * raw[1], rb[1], rb[1],
+                       self.norm[0] // 2, 1, self.str_maps[0])
+        else:
+            # even/odd out-channel halves at pack_pos 0 / 2, summed
+            c1 = layer(ct, li, "StrConv_odd", pow_, ker[:, :, :, 0::2],
+                       w.bn_a[li][0::2], w.bn_b[li][0::2], w0, 2 * raw[1],
+                       rb[0], rb[1] // 2, self.norm[0], 1, self.str_maps[0])
+            c2 = layer(ct, li, "StrConv_odd", pow_, ker[:, :, :, 1::2],
+                       w.bn_a[li][1::2], w.bn_b[li][1::2], w0, 2 * raw[1],
+                       rb[0], rb[1] // 2, self.norm[0], 1, self.str_maps[2])
+            ct = ctx.add(c1, c2)
+        li += 1
+        tm["blc1to2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        for _ in range(n2):
+            ct = layer(ct, li, "Conv_inside", pow_, w.convs[li], w.bn_a[li],
+                       w.bn_b[li], w1, raw[1], rb[1], rb[1], self.norm[1], 1,
+                       self.keep_maps[1])
+            li += 1
+        tm["blc2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        ct = layer(ct, li, "StrConv_inside", pow_, interleave(w.convs[li]),
+                   w.bn_a[li], w.bn_b[li], w1, raw[2], rb[2], rb[2],
+                   self.norm[2], 2, self.keep_maps[2])
+        li += 1
+        tm["blc2to3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        for j in range(n3):
+            if j == n3 - 1:
+                pow_ = cfg.final_pow
+            ct = layer(ct, li, "Conv_inside", pow_, w.convs[li], w.bn_a[li],
+                       w.bn_b[li], w1, raw[2], rb[2], rb[2], self.norm[2], 2,
+                       self.keep_maps[2])
+            li += 1
+        tm["blc3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
+        logits = self._fc_head(ct, w)
+        tm["fc"] = time.perf_counter() - t0
+        return logits
+
+    def _fc_head(self, ct, w: ResNetWeights) -> np.ndarray:
+        cfg = self.cfg
+        b3 = cfg.real_batch[2]
+        fc_out = cfg.fc_out
+        if fc_out <= b3:
+            return self._fc_conv(ct, w.fc_w, w.fc_b)
+        assert fc_out % 2 == 0 and fc_out // 2 <= b3
+        lo = self._fc_conv(ct, w.fc_w[:, : fc_out // 2], w.fc_b[: fc_out // 2])
+        hi = self._fc_conv(ct, w.fc_w[:, fc_out // 2:], w.fc_b[fc_out // 2:])
+        return np.concatenate([lo, hi])
+
+    def _fc_conv(self, ct, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndarray:
+        ctx, cfg = self.ctx, self.cfg
+        w1 = cfg.in_wids[1]
+        raw1, raw2 = cfg.raw_in_wids[1], cfg.raw_in_wids[2]
+        kw = raw1 if raw1 % 2 == 1 else raw1 + 1
+        b3 = cfg.real_batch[2]
+        n_out = fc_w.shape[1]
+        ker = np.broadcast_to(fc_w[None, None], (kw, kw, b3, n_out)).copy()
+        bn_a = np.full(n_out, 1.0 / (raw2 * raw2))
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a,
+                                   np.asarray(fc_b), w1, kw, b3, n_out,
+                                   self.norm[2], float(1 << 30))
+        cfs = ctx.decrypt_decode_coeffs(out)
+        mb = self.max_batch[1]
+        ctr = (kw // 2) * w1 * mb + (kw // 2) * mb
         return cfs[ctr: ctr + self.norm[2] * n_out: self.norm[2]]
 
 

@@ -149,7 +149,11 @@ def gen_comprs_full(vec_size: int, in_wid: int, kp_wid: int, pos: int,
                         + in_wid * min_wid + min_wid] = 1
                     any_set = True
         rot = j * min_wid - 2 * pos * min_wid * min_wid + min_wid + in_wid * min_wid
-        if any_set or True:
+        # all-zero masks contribute nothing to the masked-rotate sum but
+        # each costs a homomorphic rotation in ext_ctxt — drop them
+        # (parity with the mirror is unchanged: apply_rot_maps sums
+        # mask·rot terms, and a zero mask is the additive identity)
+        if any_set:
             r_idx[rot] = tmp
     return r_idx
 
@@ -300,7 +304,9 @@ def invert_rot_maps(maps: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
         moved = lrot(mask, rot)
         dest_cover = moved if dest_cover is None else dest_cover + moved
         out[-rot] = out.get(-rot, 0) + moved
-    assert dest_cover is not None and dest_cover.max() <= 1, \
+    # an empty forward map (e.g. comprs_full ul=1 with kp_wid == in_wid/2
+    # — the upper region keeps nothing) inverts to the empty map
+    assert dest_cover is None or dest_cover.max() <= 1, \
         "forward map not injective — cannot invert"
     return out
 

@@ -43,11 +43,17 @@ def save_keys(path: str, ctx: CkksContext) -> None:
         blobs[f"d0_{i}"] = np.asarray(swk.d0)
         if swk.d1 is not None:
             blobs[f"d1_{i}"] = np.asarray(swk.d1)
+        if swk.perm is not None:
+            # pre-permuted hoisting keys ("galh") regenerate a compressed
+            # d1 by re-applying `perm` — dropping it on reload silently
+            # corrupts every hoisted rotation after a key-cache miss
+            blobs[f"perm_{i}"] = np.asarray(swk.perm)
         index.append((repr(key), int(swk.level),
                       -1 if swk.seed is None else int(swk.seed),
-                      swk.d1 is not None))
+                      swk.d1 is not None, swk.perm is not None))
     blobs["index"] = np.array(
-        [(k, str(l), str(s), str(h)) for k, l, s, h in index], dtype=object)
+        [(k, str(l), str(s), str(h), str(pp)) for k, l, s, h, pp in index],
+        dtype=object)
     np.savez_compressed(path, **blobs)
 
 
@@ -57,12 +63,16 @@ def load_keys(path: str, ctx: CkksContext) -> int:
     z = np.load(path, allow_pickle=True)
     assert np.array_equal(z["sk"], ctx._sk_ints), "secret key mismatch"
     index = z["index"]
-    for i, (key_repr, level, seed, has_d1) in enumerate(index):
+    for i, row in enumerate(index):
+        # pre-round-3 archives have 4-column rows (no perm flag)
+        key_repr, level, seed, has_d1 = row[:4]
+        has_perm = len(row) > 4 and row[4] == "True"
         key = ast.literal_eval(key_repr)   # tuples of str/int built by us
         seed = int(seed)
         swk = SwitchingKey(
             jnp.asarray(z[f"d0_{i}"]),
             jnp.asarray(z[f"d1_{i}"]) if has_d1 == "True" else None,
-            int(level), seed=None if seed < 0 else seed)
+            int(level), seed=None if seed < 0 else seed,
+            perm=jnp.asarray(z[f"perm_{i}"]) if has_perm else None)
         ctx._swk_cache.put(key, swk)
     return len(index)

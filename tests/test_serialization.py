@@ -69,6 +69,45 @@ def test_key_roundtrip(tmp_path, compress, monkeypatch):
     assert np.isfinite(got).all()
 
 
+def test_hoisted_key_perm_survives_reload(tmp_path):
+    """Round-3 regression: load_keys used to drop SwitchingKey.perm, so a
+    reloaded compressed "galh" key regenerated an UNPERMUTED d1 against a
+    permuted d0 — silently wrong hoisted rotations.  Value-checks the
+    rotation, not isfinite."""
+    p = tiny_params(log_n=8, levels=3)
+    ctx = CkksContext(p, seed=11)
+    ctx._compress_keys = True
+    lvl = p.max_level
+    msg = np.sin(np.arange(p.n))
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(msg, p.scale, lvl))
+    rots = [1, 3]
+    ref = {r: ctx.decrypt_decode_coeffs(v)
+           for r, v in ctx.rotate_hoisted(ct, rots).items()}
+    # populate + persist the pre-permuted hoisting keys
+    for r in rots:
+        swk = ctx.galois_key_hoisted(pow(5, r, 2 * p.n), lvl)
+        assert swk.perm is not None and swk.d1 is None
+    path = str(tmp_path / "keys.npz")
+    ser.save_keys(path, ctx)
+
+    ctx2 = CkksContext(p, seed=11)
+    ctx2._compress_keys = True
+    ser.load_keys(path, ctx2)
+    for key, swk in ctx._swk_cache.d.items():
+        swk2 = ctx2._swk_cache.d[key]
+        assert (swk.perm is None) == (swk2.perm is None)
+        if swk.perm is not None:
+            np.testing.assert_array_equal(np.asarray(swk.perm),
+                                          np.asarray(swk2.perm))
+            # d1 must regenerate permuted, exactly as the original's
+            np.testing.assert_array_equal(np.asarray(ctx.swk_d1(swk)),
+                                          np.asarray(ctx2.swk_d1(swk2)))
+    got = {r: ctx2.decrypt_decode_coeffs(v)
+           for r, v in ctx2.rotate_hoisted(ct, rots).items()}
+    for r in rots:
+        np.testing.assert_allclose(got[r], ref[r], atol=1e-4)
+
+
 def test_key_mismatch_rejected(tmp_path):
     p = tiny_params(log_n=8, levels=3)
     ctx = CkksContext(p, seed=3)
