@@ -177,6 +177,33 @@ class MxuNttTables:
             self._cache[key] = got
         return got
 
+    def group_scan(self, idx: tuple[int, ...], nb: int, g: int,
+                   q_np: np.ndarray, qinv_np: np.ndarray):
+        """Constants for the scan-over-limb-groups transforms: leading
+        axes [nG, g] (limb list padded to a multiple of g by repeating
+        the last limb — the duplicate transform output is sliced off)."""
+        key = ("scan", idx, nb, g)
+        got = self._cache.get(key)
+        if got is None:
+            assert all(self.nbytes[i] <= nb for i in idx), (idx, nb)
+            L = len(idx)
+            nG = -(-L // g)
+            sel = list(idx) + [idx[-1]] * (nG * g - L)
+            planed = {0, 1, 3, 4, 5, 6, 8, 9}
+            mats = (self.w1_b, self.w1_r, self.t_mont, self.w2_b, self.w2_r,
+                    self.iv2_b, self.iv2_r, self.it_mont, self.iv1_b,
+                    self.iv1_r, self.c40, self.c80, self.r1)
+            with jax.ensure_compile_time_eval():
+                out = []
+                for k, t in enumerate(mats):
+                    tt = t[sel][:, :nb] if k in planed else t[sel]
+                    out.append(jnp.asarray(tt.reshape((nG, g) + tt.shape[1:])))
+                out.append(jnp.asarray(q_np[sel].reshape(nG, g, 1)))
+                out.append(jnp.asarray(qinv_np[sel].reshape(nG, g, 1)))
+            got = tuple(out)
+            self._cache[key] = got
+        return got
+
     def buckets(self, idx: tuple[int, ...]) -> list[tuple[tuple[int, ...], int]]:
         """Partition positions of `idx` into byte-width classes.
 
@@ -275,9 +302,8 @@ def _mod_matmul(w_b, w_r, xb, xc, q, qinv, c40, c80, r1, T):
 # public transforms
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("log_n", "log_b"))
-def _mxu_fwd(a, w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv,
-             log_n, log_b):
+def _fwd_body(a, w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv,
+              log_n, log_b):
     n = 1 << log_n
     B = 1 << log_b
     A = n // B
@@ -301,9 +327,12 @@ def _mxu_fwd(a, w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv,
     return out.reshape(shape)
 
 
-@functools.partial(jax.jit, static_argnames=("log_n", "log_b"))
-def _mxu_inv(a, iv2_b, iv2_r, it_mont, iv1_b, iv1_r, c40, c80, r1, q, qinv,
-             log_n, log_b):
+_mxu_fwd = functools.partial(jax.jit, static_argnames=("log_n", "log_b"))(
+    _fwd_body)
+
+
+def _inv_body(a, iv2_b, iv2_r, it_mont, iv1_b, iv1_r, c40, c80, r1, q, qinv,
+              log_n, log_b):
     n = 1 << log_n
     B = 1 << log_b
     A = n // B
@@ -323,3 +352,58 @@ def _mxu_inv(a, iv2_b, iv2_r, it_mont, iv1_b, iv1_r, c40, c80, r1, q, qinv,
     ub, uc = _x_bytes(u, nb)
     out = _mod_matmul(iv1_b, iv1_r, ub, uc, q3, qi3, c40, c80, r1, A)
     return out.reshape(shape)
+
+
+_mxu_inv = functools.partial(jax.jit, static_argnames=("log_n", "log_b"))(
+    _inv_body)
+
+
+# ---------------------------------------------------------------------------
+# scan-over-limb-groups variants (compile-light for wide stacks)
+# ---------------------------------------------------------------------------
+#
+# The per-limb constants are a BATCH axis of the int8 matmuls, so the
+# traced graph is limb-count independent — but the remote XLA-TPU
+# helper's compile time still grows superlinearly with the batched
+# matmul extent (a level-27 decntt never finished in 50 min unrolled).
+# These variants lax.scan over fixed-size limb GROUPS with the constants
+# as scan inputs: the compiled body covers one group, so compile cost is
+# bounded while each step still issues [nb·A, A]×[A, nb·B] MXU work per
+# limb of the group.  Bit-identical to the unrolled path (same body).
+
+def _scan_transform(body, a, consts, log_n, log_b):
+    """consts: tuple of arrays with leading [nG, G]; a [.., L, N]."""
+    nG, G = consts[0].shape[:2]
+    L = a.shape[-2]
+    pad = nG * G - L
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.repeat(a[..., -1:, :], pad, axis=-2)], axis=-2)
+    batch = a.shape[:-2]
+    n = a.shape[-1]
+    xs_a = jnp.moveaxis(a.reshape(batch + (nG, G, n)), len(batch), 0)
+
+    def step(_, xs):
+        ag, cs = xs
+        return None, body(ag, *cs, log_n, log_b)
+
+    _, out = jax.lax.scan(step, None, (xs_a, consts))
+    out = jnp.moveaxis(out, 0, len(batch)).reshape(batch + (nG * G, n))
+    return out[..., :L, :] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("log_n", "log_b"))
+def _mxu_fwd_scan(a, w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv,
+                  log_n, log_b):
+    return _scan_transform(
+        _fwd_body, a, (w1_b, w1_r, t_mont, w2_b, w2_r, c40, c80, r1, q, qinv),
+        log_n, log_b)
+
+
+@functools.partial(jax.jit, static_argnames=("log_n", "log_b"))
+def _mxu_inv_scan(a, iv2_b, iv2_r, it_mont, iv1_b, iv1_r, c40, c80, r1, q,
+                  qinv, log_n, log_b):
+    return _scan_transform(
+        _inv_body, a,
+        (iv2_b, iv2_r, it_mont, iv1_b, iv1_r, c40, c80, r1, q, qinv),
+        log_n, log_b)

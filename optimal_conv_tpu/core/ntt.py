@@ -34,6 +34,12 @@ from . import modmath as mm
 # take per call (see NttContext._resolved_backend); wider calls use the
 # compile-light looped backend.
 _MXU_MAX_LIMBS = int(os.environ.get("OPTCONV_MXU_MAX_LIMBS", "12"))
+# scan-over-limb-groups MXU path for stacks wider than _MXU_MAX_LIMBS
+# (replaces the xla_loop fallback when enabled): the compiled body
+# covers OPTCONV_MXU_SCAN_GROUP limbs, so remote compile time stays
+# bounded while the MXU still gets the matmul formulation.
+_MXU_SCAN = os.environ.get("OPTCONV_MXU_SCAN", "0") == "1"
+_MXU_SCAN_GROUP = int(os.environ.get("OPTCONV_MXU_SCAN_GROUP", "7"))
 
 
 def bit_reverse_perm(n: int) -> np.ndarray:
@@ -166,7 +172,9 @@ class NttContext:
             return "xla"
         if idx is not None and len(idx) <= _MXU_MAX_LIMBS:
             return "mxu"
-        return "xla_loop"
+        # wide stacks: scan-over-limb-groups MXU (bounded compile) when
+        # enabled, else the uniform-stage loop
+        return "mxu_scan" if _MXU_SCAN else "xla_loop"
 
     def _mxu(self):
         if self._mxu_tabs is None:
@@ -239,8 +247,10 @@ class NttContext:
             twA, f2, f1, _, _, _, _ = self._loop_tabs(idx)
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_fwd_loop(a, twA, f2, f1, q, qinv, self.log_n)
-        if self._resolved_backend(idx) == "mxu":
-            return self._mxu_transform(a, idx, inverse=False)
+        bk = self._resolved_backend(idx)
+        if bk in ("mxu", "mxu_scan"):
+            return self._mxu_transform(a, idx, inverse=False,
+                                       scan=bk == "mxu_scan")
         q, qinv, _, _, psi, _, _ = self.tabs(idx)
         return _ntt_fwd(a, psi, q, qinv, self.log_n)
 
@@ -257,13 +267,15 @@ class NttContext:
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv,
                                  self.log_n)
-        if self._resolved_backend(idx) == "mxu":
-            return self._mxu_transform(a, idx, inverse=True)
+        bk = self._resolved_backend(idx)
+        if bk in ("mxu", "mxu_scan"):
+            return self._mxu_transform(a, idx, inverse=True,
+                                       scan=bk == "mxu_scan")
         q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
         return _ntt_inv(a, ipsi, ninv, q, qinv, self.log_n)
 
     def _mxu_transform(self, a: jnp.ndarray, idx: tuple[int, ...],
-                       inverse: bool) -> jnp.ndarray:
+                       inverse: bool, scan: bool = False) -> jnp.ndarray:
         """Four-step MXU transform, optionally partitioned into byte-width
         buckets (OPTCONV_MXU_NB=auto) so narrow limbs use fewer int8
         planes.  Bit-identical across policies."""
@@ -275,6 +287,17 @@ class NttContext:
             parts = [(tuple(range(len(idx))), 8)]
 
         def one(sub, sub_idx, nb):
+            if scan:
+                # wide stack: scan over limb groups (bounded compile)
+                g = tabs.group_scan(sub_idx, nb, _MXU_SCAN_GROUP,
+                                    self._np_q, self._np_qinv)
+                if inverse:
+                    return mxu_ntt._mxu_inv_scan(
+                        sub, g[5], g[6], g[7], g[8], g[9], g[10], g[11],
+                        g[12], g[13], g[14], self.log_n, self.log_n - 8)
+                return mxu_ntt._mxu_fwd_scan(
+                    sub, g[0], g[1], g[2], g[3], g[4], g[10], g[11], g[12],
+                    g[13], g[14], self.log_n, self.log_n - 8)
             g = tabs.group(sub_idx, nb)
             q, qinv, _, _, _, _, _ = self.tabs(sub_idx)
             if inverse:

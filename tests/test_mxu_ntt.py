@@ -127,3 +127,29 @@ def test_backend_selection_through_context():
             os.environ["OPTCONV_NTT_BACKEND"] = old
     assert np.array_equal(ref, got)
     assert np.array_equal(back, np.asarray(a))
+
+
+def test_mxu_scan_over_limb_groups_bit_exact():
+    """The scan-over-limb-groups path (wide stacks; core/mxu_ntt.py
+    _mxu_fwd_scan/_mxu_inv_scan) is bit-identical to the unrolled MXU
+    transform, including a limb count NOT divisible by the group size
+    (pad-with-repeat + slice)."""
+    log_n = 10
+    mods = mm.gen_ntt_primes(log_n, [50, 40, 40, 30, 30, 55, 45, 45, 50,
+                                     40, 40, 30, 30, 55, 45, 45, 50])
+    ctx = nttmod.NttContext(mods, log_n)
+    L = len(mods)
+    idx = tuple(range(L))
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(np.stack([rng.integers(0, q, size=1 << log_n,
+                                           dtype=np.uint64) for q in mods])
+                    [None])                       # extra batch dim
+    f0 = np.asarray(ctx._mxu_transform(a, idx, inverse=False, scan=False))
+    f1 = np.asarray(ctx._mxu_transform(a, idx, inverse=False, scan=True))
+    assert np.array_equal(f0, f1)
+    b0 = np.asarray(ctx._mxu_transform(jnp.asarray(f0), idx, inverse=True,
+                                       scan=False))
+    b1 = np.asarray(ctx._mxu_transform(jnp.asarray(f1), idx, inverse=True,
+                                       scan=True))
+    assert np.array_equal(b0, b1)
+    assert np.array_equal(b1, np.asarray(a))
