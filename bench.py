@@ -15,6 +15,7 @@ inputs: conv (with BN) wall-clock.  See BASELINE_NOTES below.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -25,6 +26,37 @@ import numpy as np
 # (kernel prep and en/decryption excluded), single-threaded Go/Lattigo
 # fork, measured round 1: mult 90.9ms + pack 182.2ms = 273.3ms.
 GO_REFERENCE_CONV_S = 0.2733
+
+
+def micro_rates(iters: int = 8) -> dict:
+    """Hot-loop primitive rates at the production chain (logN=16,
+    DefaultBootstrapParams[6] moduli, max level): rotate / hoisted
+    rotate / ct×ct+relin, chained-call protocol (one drain per span —
+    see the tunnel note in the module docstring)."""
+    from optimal_conv_tpu.ckks.params import boot_params
+    from optimal_conv_tpu.ckks.context import CkksContext
+    from optimal_conv_tpu.ckks.types import Ciphertext
+    from optimal_conv_tpu.utils.timing import timeit_chained
+    import jax.numpy as jnp
+
+    params = boot_params(16)
+    ctx = CkksContext(params, seed=0)
+    lvl = params.max_level
+    rng = np.random.default_rng(0)
+    rows = np.stack([rng.integers(0, params.moduli[i], size=params.n,
+                                  dtype=np.uint64) for i in range(lvl + 1)])
+    ct = Ciphertext(jnp.asarray(rows), jnp.asarray(rows), level=lvl,
+                    scale=params.scale)
+    out = {}
+    out["rotate_ms"] = round(timeit_chained(
+        lambda c: ctx.rotate(c, 1), ct, iters), 2)
+    # hoisted pair: one shared decomposition, two rotations
+    out["hoisted_rotate_pair_ms"] = round(timeit_chained(
+        lambda c: ctx.rotate_hoisted(c, [1, 2])[2], ct, iters), 2)
+    out["mul_relin_ms"] = round(timeit_chained(
+        lambda c: ctx.mul_ct(c, c), ct, iters), 2)
+    out["rotates_per_sec"] = round(1e3 / out["rotate_ms"], 2)
+    return out
 
 
 def main():
@@ -92,11 +124,27 @@ def main():
     err = float(np.max(np.abs(got - want)))
     assert err < 1e-2, f"conv mismatch: {err}"
 
+    extra = {}
+    if os.environ.get("OPTCONV_BENCH_MICRO", "1") != "0":
+        try:
+            extra.update(micro_rates())
+        except Exception as e:            # never fail the primary metric
+            extra["micro_error"] = repr(e)
+    # measured-on-TPU detail from this round's full runs (flagship
+    # ResNet-20 logN=16 per-block timings, bootstrap latency, roofline)
+    # — produced by scripts/run_resnet_demo.py / bench_boot.py /
+    # roofline.py and recorded in BENCH_DETAIL.json at commit time
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_DETAIL.json")
+    if os.path.exists(detail):
+        extra["recorded"] = json.load(open(detail))
+
     print(json.dumps({
         "metric": "encrypted_conv3x3_batch4_latency",
         "value": round(dt * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(GO_REFERENCE_CONV_S / dt, 2),
+        "extra": extra,
     }))
 
 

@@ -228,7 +228,8 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
     from .ckks.params import boot_params
     from .ckks.context import CkksContext
     from .models.plain import random_weights, plain_forward
-    from .models.resnet import ResNetConfig, ResNetRunner, FastResNetRunner
+    from .models.resnet import (ResNetConfig, ResNetRunner, FastResNetRunner,
+                                WideFastResNetRunner)
 
     fc_out = 100 if cf100 else 10
     batches = {1: (16, 32, 64), 2: (32, 64, 128), 3: (48, 96, 192)}[wide]
@@ -238,8 +239,10 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
     print("building context + keys ...")
     ctx = CkksContext(params, seed=0)
     if fast:
-        assert wide == 1, "fast regime is the wide-1 drivers (test.go:372)"
-        runner = FastResNetRunner(ctx, cfg)
+        # wide 1 → testResNet_crop_fast_in (test.go:372); wide 2/3 →
+        # testResNet_crop_fast_wide_in (test.go:914, main.go:264-345)
+        runner = (FastResNetRunner(ctx, cfg) if wide == 1
+                  else WideFastResNetRunner(ctx, cfg))
     else:
         runner = ResNetRunner(ctx, cfg)
     w = random_weights(ker_wid, depth, cfg.real_batch, fc_out=fc_out, seed=1,
@@ -260,7 +263,9 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
             # packed-input matrix view (/root/reference/test.go:151)
             from .ops.debug import prt_mat
 
-            mb0 = runner.max_batch if fast else runner.max_batch[0]
+            mb0 = (runner.max_batch[0]
+                   if isinstance(runner.max_batch, (list, tuple))
+                   else runner.max_batch)
             norm0 = runner.norm[0]
             inp = np.zeros(params.n)
             w0 = cfg.in_wids[0]

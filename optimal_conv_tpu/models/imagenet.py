@@ -7,10 +7,12 @@ transition as TWO split-kernel ``StrConv_sparse_full`` convolutions with
 the odd half interleaved by X^norm (the same dual-full-conv trick as
 wide-3 ResNet), and a dual-conv FC head for the 1000-way classifier.
 
-Status: built on the same verified primitives as the ResNet runner
-(Conv_sparse full-pack, StrConv_sparse_full, dual FC); end-to-end
-ImageNet-scale validation is scheduled with real weights in a later
-round (the reference reaches this workload only by editing its main()).
+Both runners expose ``infer_features`` (identity-FC feature readout)
+and ``infer_logits`` (the reference's RMFC: FC matrix replicated at all
+7×7 taps, bn 1/kp², 1000 logits at output stride 1 read from the
+1-based (4,4) grid position, /root/reference/test.go:1565-1600).  The
+reference reaches this workload only by editing its main(); mini e2e
+tests validate both heads against the plain mirror.
 """
 
 from __future__ import annotations
@@ -68,6 +70,45 @@ class ImagenetTailRunner:
                        bn_b: list, init_pow=6.0, mid_pow=5.0) -> np.ndarray:
         """Run the two blocks; returns decrypted feature coefficients."""
         ctx = self.ctx
+        b1 = self.real_batch[1]
+        ct = self._run_blocks(x, convs, bn_a, bn_b, init_pow, mid_pow)
+        return ctx.decrypt_decode_coeffs(
+            convops.eval_conv_bn(ctx, ct, *_identity_fc(b1, self.kp_wids[1]),
+                                 8, self.kp_wids[1] | 1, b1, b1, 2,
+                                 float(1 << 30)))
+
+    def infer_logits(self, x: np.ndarray, convs: list, bn_a: list,
+                     bn_b: list, fc_w: np.ndarray, fc_b: np.ndarray,
+                     init_pow=6.0, mid_pow=5.0) -> np.ndarray:
+        """Full classifier: blocks + the 1000-way RMFC head — one conv
+        with the FC matrix replicated at all 7×7 taps and bn_a = 1/kp²
+        (reduce-mean), logits read at the 1-based (4,4) grid position
+        (/root/reference/test.go:1565-1600).  The reference's own call
+        passes norm=1 for BOTH sides, misreading the stride-2 sparse
+        input (that test is unreachable without editing its main());
+        here the input stride is the explicit in_norm=norm[1] so every
+        block-2 feature contributes, while the 1000 logits land at
+        output stride 1 (1000 > max_batch/norm would not fit at 2)."""
+        ctx = self.ctx
+        p = ctx.params
+        b1 = self.real_batch[1]
+        kp = self.kp_wids[1]
+        ct = self._run_blocks(x, convs, bn_a, bn_b, init_pow, mid_pow)
+        kw = 7
+        n_out = fc_w.shape[1]
+        ker = np.broadcast_to(fc_w[None, None], (kw, kw, b1, n_out)).copy()
+        bn_af = np.full(n_out, 1.0 / (kp * kp))
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_af,
+                                   np.asarray(fc_b), 8, kw, b1, n_out, 1,
+                                   float(1 << 30), in_norm=self.norm[1])
+        cfs = ctx.decrypt_decode_coeffs(out)
+        mb = p.n // 64
+        ctr = (kw // 2) * 8 * mb + (kw // 2) * mb
+        return cfs[ctr: ctr + n_out]
+
+    def _run_blocks(self, x: np.ndarray, convs: list, bn_a: list,
+                    bn_b: list, init_pow: float, mid_pow: float):
+        ctx = self.ctx
         ct = self.encrypt_input(x)
         li = 0
         pow_ = init_pow
@@ -98,10 +139,7 @@ class ImagenetTailRunner:
                 0.0, pow_, 8, self.kp_wids[1], self.ker_wid, b1, b1,
                 2, 0, 1, 2, 1, "Conv_sparse", self.keep_maps[1])
             li += 1
-        return ctx.decrypt_decode_coeffs(
-            convops.eval_conv_bn(ctx, ct, *_identity_fc(b1, self.kp_wids[1]),
-                                 8, self.kp_wids[1] | 1, b1, b1, 2,
-                                 float(1 << 30)))
+        return ct
 
 
 def _identity_fc(ch: int, raw: int):
@@ -162,6 +200,40 @@ class ImagenetFinalFastRunner:
     def infer_features(self, x: np.ndarray, convs: list, bn_a: list,
                        bn_b: list, init_pow=6.0, mid_pow=5.0) -> np.ndarray:
         ctx = self.ctx
+        b1 = self.real_batch[1]
+        ct = self._run_blocks(x, convs, bn_a, bn_b, init_pow, mid_pow)
+        return ctx.decrypt_decode_coeffs(
+            convops.eval_conv_bn(ctx, ct, *_identity_fc(b1, self.kp_wids[1]),
+                                 8, self.kp_wids[1] | 1, b1, b1, 1,
+                                 float(1 << 30)))
+
+    def infer_logits(self, x: np.ndarray, convs: list, bn_a: list,
+                     bn_b: list, fc_w: np.ndarray, fc_b: np.ndarray,
+                     init_pow=6.0, mid_pow=5.0) -> np.ndarray:
+        """1000-way RMFC head at full packing: FC replicated at all 7×7
+        taps, bn_a = 1/kp², both strides 1 (the full-pack block-2 output
+        is contiguous), logits at the 1-based (4,4) grid position
+        (/root/reference/test.go:1360-1393)."""
+        ctx = self.ctx
+        p = ctx.params
+        b1 = self.real_batch[1]
+        kp = self.kp_wids[1]
+        ct = self._run_blocks(x, convs, bn_a, bn_b, init_pow, mid_pow)
+        kw = 7
+        n_out = fc_w.shape[1]
+        ker = np.broadcast_to(fc_w[None, None], (kw, kw, b1, n_out)).copy()
+        bn_af = np.full(n_out, 1.0 / (kp * kp))
+        out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_af,
+                                   np.asarray(fc_b), 8, kw, b1, n_out, 1,
+                                   float(1 << 30))
+        cfs = ctx.decrypt_decode_coeffs(out)
+        mb = p.n // 64
+        ctr = (kw // 2) * 8 * mb + (kw // 2) * mb
+        return cfs[ctr: ctr + n_out]
+
+    def _run_blocks(self, x: np.ndarray, convs: list, bn_a: list,
+                    bn_b: list, init_pow: float, mid_pow: float):
+        ctx = self.ctx
         ct = self.encrypt_input(x)
         li = 0
         pow_ = init_pow
@@ -193,7 +265,4 @@ class ImagenetFinalFastRunner:
                 0.0, pow_, 8, self.kp_wids[1], self.ker_wid, b1, b1,
                 1, 0, 1, 2, 0, "Conv", self.keep_maps[1])
             li += 1
-        return ctx.decrypt_decode_coeffs(
-            convops.eval_conv_bn(ctx, ct, *_identity_fc(b1, self.kp_wids[1]),
-                                 8, self.kp_wids[1] | 1, b1, b1, 1,
-                                 float(1 << 30)))
+        return ct

@@ -115,19 +115,30 @@ def encode_ker_final(ker: np.ndarray, pos: int, i: int, in_wid: int,
 
 def prep_ker(ctx: CkksContext, ker_in: np.ndarray, bn_a: np.ndarray,
              in_wid: int, ker_wid: int, real_ib: int, real_ob: int,
-             norm: int, ecd_lv: int, pos: int, trans: bool) -> list[Plaintext]:
+             norm: int, ecd_lv: int, pos: int, trans: bool,
+             in_norm: int | None = None) -> list[Plaintext]:
     """Kernel reshape + BN fold + overload to max batch + coeff-encode all
-    max_bat kernel polys as NTT plaintexts (prep_Ker, conv.go:487-518)."""
+    max_bat kernel polys as NTT plaintexts (prep_Ker, conv.go:487-518).
+
+    ``in_norm`` decouples the input channel stride from the output one
+    (the reference's prep_Ker conflates them in a single ``norm``).  The
+    ImageNet FC-1000 head needs it: the sparse block-2 output has
+    channel c at position norm[1]·c = 2c, but 1000 logits only fit at
+    output stride 1 (evalConv_BN call, /root/reference/test.go:1591 —
+    which passes norm=1 and therefore misreads the stride-2 input; kept
+    here as an explicit in_norm so all 512 features contribute)."""
     p = ctx.params
     max_bat = p.n // (in_wid * in_wid)
+    if in_norm is None:
+        in_norm = norm
     k_sz = ker_wid * ker_wid
     ker_rs = reshape_ker(ker_in, k_sz, real_ob, trans)
     ker_rs = ker_rs * np.asarray(bn_a)[:, None]
     max_ker = np.zeros((max_bat, max_bat * k_sz))
     for i in range(real_ob):
         for j in range(real_ib):
-            max_ker[norm * i, norm * j * k_sz: norm * j * k_sz + k_sz] = \
-                ker_rs[i, j * k_sz: j * k_sz + k_sz]
+            max_ker[norm * i, in_norm * j * k_sz: in_norm * j * k_sz + k_sz] \
+                = ker_rs[i, j * k_sz: j * k_sz + k_sz]
     out = []
     for i in range(max_bat):
         coeffs = encode_ker_final(max_ker, pos, i, in_wid, max_bat, ker_wid)
@@ -296,13 +307,15 @@ def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
 def eval_conv_bn(ctx: CkksContext, ct_in: Ciphertext, ker_in: np.ndarray,
                  bn_a: np.ndarray, bn_b: np.ndarray, in_wid: int, ker_wid: int,
                  real_ib: int, real_ob: int, norm: int, out_scale: float,
-                 trans: bool = False, ecd_lv: int = 1) -> Ciphertext:
+                 trans: bool = False, ecd_lv: int = 1,
+                 in_norm: int | None = None) -> Ciphertext:
     """Conv + BN: kernel prep, conv_then_pack, add coeff-encoded bias
-    (evalConv_BN, /root/reference/eval.go:224-263)."""
+    (evalConv_BN, /root/reference/eval.go:224-263).  ``in_norm``: input
+    channel stride when it differs from the output one (see prep_ker)."""
     p = ctx.params
     max_batch = p.n // (in_wid * in_wid)
     pl = prep_ker(ctx, ker_in, bn_a, in_wid, ker_wid, real_ib, real_ob, norm,
-                  ecd_lv, 0, trans)
+                  ecd_lv, 0, trans, in_norm=in_norm)
     b_coeffs = np.zeros(p.n)
     for i, b in enumerate(np.asarray(bn_b)):
         b_coeffs[norm * i::max_batch] = b

@@ -32,6 +32,10 @@ def main():
                     help="capture a JAX profiler trace of the first "
                          "inference into DIR (view with tensorboard / "
                          "xprof; SURVEY §5 tracing parity)")
+    ap.add_argument("--ckpt", type=str, default=None, metavar="DIR",
+                    help="per-layer encrypted-ct checkpoint dir — an "
+                         "interrupted inference resumes from the last "
+                         "completed layer (flagship runs span sessions)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +91,8 @@ def main():
                      if args.trace and it == 0 else contextlib.nullcontext())
         t0 = time.perf_counter()
         with trace_ctx:
-            logits = runner.infer(image, w, timings)
+            logits = runner.infer(image, w, timings,
+                                  ckpt_dir=args.ckpt if it == 0 else None)
         total = time.perf_counter() - t0
         plain = plain_forward(w, image, args.depth, cfg.raw_in_wids)
         print(f"Blc1: {timings['blc1']:.1f}s  Blc1->2: {timings['blc1to2']:.1f}s  "
