@@ -314,7 +314,8 @@ class SplitBootstrapper:
     def __init__(self, ctx: CkksContext, log_sparse: int = 0,
                  k_range: float = 25.0,
                  sin_deg: int = 63, double_angle: int = 2,
-                 msg_ratio_bits: int = 8, stoc_level: int | None = None):
+                 msg_ratio_bits: int = 8, stoc_level: int | None = None,
+                 arcsine_deg: int = 0):
         """stoc_level: top level of the StoC transforms.  Default (None)
         uses the chain layout's dedicated low StoC levels — the split
         pipeline order (…ReLU → repack → StoC → conv).  The baseline
@@ -353,9 +354,24 @@ class SplitBootstrapper:
         # the chain's evalmod region is sized for it — the ref chain's 8
         # levels = depth(63)+2
         n_mod = lay["evalmod"][1] - lay["evalmod"][0]
+        # arcsine_deg > 0: apply an odd arcsin(t) series after the
+        # double-angle sine, undoing the sin distortion so the payload
+        # may sit closer to q0 (smaller msg_ratio_bits) than the fork's
+        # 2^-8 sine floor (Lattigo ArcSineDeg; the fork pins it to 0 —
+        # this is the headroom option the fork lacks).  Costs
+        # depth(arcsine_deg)+1 extra evalmod levels.
+        self.arcsine_deg = arcsine_deg
+        extra = _depth_of_deg(arcsine_deg) + 1 if arcsine_deg else 0
+        need = _depth_of_deg(sin_deg) + double_angle + extra
         self.em_tight = (n_mod == _depth_of_deg(sin_deg) + double_angle)
-        assert n_mod >= _depth_of_deg(sin_deg) + double_angle, \
-            (n_mod, sin_deg, double_angle)
+        assert n_mod >= need, (n_mod, sin_deg, double_angle, arcsine_deg)
+        if arcsine_deg:
+            # asin(t) = Σ_k (2k)! / (4^k (k!)² (2k+1)) · t^{2k+1}
+            from math import comb
+            ac = np.zeros(arcsine_deg + 1)
+            for k in range(0, (arcsine_deg - 1) // 2 + 1):
+                ac[2 * k + 1] = comb(2 * k, k) / (4.0 ** k * (2 * k + 1))
+            self._asin_coeffs = ac
 
         # ---- CtoS groups (inverse DFT stages, bit-rev output) ----------
         enc_st = [dft.tile(s, reps)
@@ -480,7 +496,10 @@ class SplitBootstrapper:
                                                        else 0)
         lc = ct.level - depth
         s_final = p.scale * self.q0 / (2 * np.pi * self.delta0)
-        scales = [s_final]
+        # with an arcsine pass below, the double-angle chain lands
+        # sin(θ) at the working scale and the asin evaluation targets
+        # s_final itself
+        scales = [p.scale if self.arcsine_deg else s_final]
         for i in range(r):
             prev = np.sqrt(scales[-1] * p.q_moduli[lc - r + 1 + i])
             scales.append(prev)
@@ -490,6 +509,12 @@ class SplitBootstrapper:
         for i in range(r):
             sq = ctx.rescale(ctx.mul_ct(c, c))
             c = ctx.add_const(ctx.mul_scalar_int(sq, 2), -1.0)
+        if self.arcsine_deg:
+            # θ = asin(sin θ) exactly (|θ| = 2π·|payload|/q0 < π/2):
+            # removes the sin distortion instead of the ≈x linearization
+            from .polyeval import evaluate_poly
+            c = evaluate_poly(ctx, c, self._asin_coeffs,
+                              target_scale=s_final)
         # c ≈ sin(2πK y) = sin(2π payload/q0) ≈ 2π·payload/q0 at scale s
         # reinterpretation: payload/Δ0 at scale s·2πΔ0/q0  (exact, free)
         return c.with_scale(c.scale * 2 * np.pi * self.delta0 / self.q0)

@@ -221,13 +221,15 @@ def boot_params(log_n: int = 16) -> CkksParams:
                       q_explicit=q, p_explicit=p)
 
 
-def mini_boot_params(log_n: int = 10, n_relu: int = 2) -> CkksParams:
+def mini_boot_params(log_n: int = 10, n_relu: int = 2,
+                     n_mod: int = 9) -> CkksParams:
     """Small bootstrappable set for unit tests (scale 2^25, q0 2^55).
 
     Same level layout structure as boot_params; pair with
     SplitBootstrapper(k_range=12, sin_deg=31, double_angle=3, h=64).
+    n_mod > 9 leaves EvalMod slack for the arcsine option.
     """
-    n_stoc, n_mod, n_ctos = 2, 9, 3
+    n_stoc, n_ctos = 2, 3
     logq = (55, 35) + (35,) * n_stoc + (35,) + (25,) * n_relu + (45,) * n_mod \
         + (45,) * n_ctos
     layout = {

@@ -132,3 +132,33 @@ def test_plan_lt_shapes_matches_real_bootstrapper(ctx, ls):
             real.add((lt.level, nb, len(sel), bool(ident)))
     planned = set(plan_lt_shapes(PARAMS, ls))
     assert planned == real, (sorted(planned), sorted(real))
+
+
+def test_arcsine_beats_sine_floor():
+    """The arcsine option (Lattigo ArcSineDeg; the fork pins 0): at
+    msg_ratio_bits=5 the payload/q0 ratio is 8x the fork's 2^-8 floor
+    and the sin(x)=x linearization error (~x^3/6) dominates; an odd
+    asin series after the double-angle recovers the precision.  Uses a
+    chain with 4 extra evalmod levels (mini_boot_params n_mod=13)."""
+    from optimal_conv_tpu.ckks.params import mini_boot_params
+    from optimal_conv_tpu.ckks.context import CkksContext
+    from optimal_conv_tpu.ckks.bootstrap import SplitBootstrapper
+
+    p = mini_boot_params(log_n=10, n_relu=2, n_mod=13)
+    ctx = CkksContext(p, seed=31)
+    rng = np.random.default_rng(5)
+    v = rng.uniform(-1, 1, p.n)
+    errs = {}
+    for deg in (0, 7):
+        btp = SplitBootstrapper(ctx, log_sparse=0, k_range=12.0, sin_deg=31,
+                                double_angle=3, msg_ratio_bits=5,
+                                arcsine_deg=deg)
+        ct = ctx.encrypt(ctx.encoder.encode_coeffs(v, btp.delta0, 0))
+        up, low = btp.ctos(ct)
+        out = btp.stoc(up, low)
+        errs[deg] = float(np.max(np.abs(ctx.decrypt_decode_coeffs(out) - v)))
+    # deg-7 asin of sin(t) with |t| ≤ 2π·2^-5 ≈ 0.2: linearization error
+    # ~t³/6 ≈ 1.2e-3 removed; require ≥ 8x improvement and the sine
+    # floor actually visible at deg 0
+    assert errs[0] > 4e-4, errs
+    assert errs[7] < errs[0] / 8, errs
