@@ -245,18 +245,36 @@ def run_resnet(ker_wid: int, depth: int, wide: int, n_tests: int,
                   else WideFastResNetRunner(ctx, cfg))
     else:
         runner = ResNetRunner(ctx, cfg)
-    w = random_weights(ker_wid, depth, cfg.real_batch, fc_out=fc_out, seed=1,
-                       init_batch=cfg.init_batch if wide > 1 else None)
+    # real weights when the reference's weight directory exists
+    # (Resnet_weights/weights[_cf100]_crop_ker{k}_d{d}_wid{w}/w{li}-*.csv,
+    # /root/reference/test.go:92-100), else deterministic random
+    pfx = "weights_cf100_crop" if cf100 else "weights_crop"
+    weight_dir = f"Resnet_weights/{pfx}_ker{ker_wid}_d{depth}_wid{wide}"
+    if os.path.isdir(weight_dir):
+        from .models.plain import load_weights_dir
+        print(f"loading weights from {weight_dir}")
+        w = load_weights_dir(weight_dir, ker_wid, depth, cfg.real_batch,
+                             fc_out=fc_out,
+                             init_batch=cfg.init_batch if wide > 1 else None)
+    else:
+        w = random_weights(ker_wid, depth, cfg.real_batch, fc_out=fc_out,
+                           seed=1,
+                           init_batch=cfg.init_batch if wide > 1 else None)
     rng = np.random.default_rng(2)
     out_dir = f"Resnet_enc_results/results_crop_ker{ker_wid}_d{depth}_wid{wide}"
     os.makedirs(out_dir, exist_ok=True)
     raw0 = cfg.raw_in_wids[0]
+    w0 = cfg.in_wids[0]
 
     for it in range(n_tests):
-        img_file = (f"Resnet_plain_data/crop_ker{ker_wid}_d{depth}_wid{wide}/"
-                    f"test_image_{it}.csv")
+        pfx_d = "cf100_crop" if cf100 else "crop"
+        img_file = (f"Resnet_plain_data/{pfx_d}_ker{ker_wid}_d{depth}"
+                    f"_wid{wide}/test_image_{it}.csv")
         if os.path.exists(img_file):
-            image = np.loadtxt(img_file).reshape(raw0, raw0, 3)
+            # the reference's image CSVs are the FULL in_wid² grid with
+            # only the raw_in_wid² top-left corner meaningful
+            # (/root/reference/test.go:129-148)
+            image = np.loadtxt(img_file).reshape(w0, w0, 3)[:raw0, :raw0]
         else:
             image = rng.uniform(-1, 1, (raw0, raw0, 3))
         if debug:

@@ -90,6 +90,56 @@ def random_weights(ker_wid: int, depth: int, batches=(16, 32, 64),
     return ResNetWeights(convs, bn_a, bn_b, fc_w, fc_b)
 
 
+def load_weights_dir(weight_dir: str, ker_wid: int, depth: int,
+                     batches=(16, 32, 64), fc_out: int = 10, in_ch: int = 3,
+                     init_batch: int | None = None) -> ResNetWeights:
+    """ResNetWeights from the reference's weight-directory CSV layout
+    (readTxt calls, /root/reference/test.go:170-186, 281-299 and the
+    wide drivers test.go:752-771, 1036-1046):
+
+      w{li}-conv.csv   flat [k²·cin·cout], tap-major then in then out
+      w{li}-a.csv      [cout]  multiplicative BN fold
+      w{li}-b.csv      [cout]  additive BN fold
+      final-fckernel.csv  [b3·fc_out], feature-major
+      final-fcbias.csv    [fc_out]
+
+    li runs in graph order over channel_plan (block layers then the
+    strided transitions, exactly the reference's weight_num order)."""
+    import os
+    convs, bn_a, bn_b = [], [], []
+    for li, (cin, cout) in enumerate(
+            channel_plan(depth, batches, in_ch, init_batch)):
+        k = np.loadtxt(os.path.join(weight_dir, f"w{li}-conv.csv"))
+        convs.append(k.reshape(ker_wid, ker_wid, cin, cout))
+        bn_a.append(np.loadtxt(os.path.join(weight_dir, f"w{li}-a.csv"))
+                    .reshape(cout))
+        bn_b.append(np.loadtxt(os.path.join(weight_dir, f"w{li}-b.csv"))
+                    .reshape(cout))
+    fc_w = np.loadtxt(os.path.join(weight_dir, "final-fckernel.csv")) \
+        .reshape(batches[2], fc_out)
+    fc_b = np.loadtxt(os.path.join(weight_dir, "final-fcbias.csv")) \
+        .reshape(fc_out)
+    return ResNetWeights(convs, bn_a, bn_b, fc_w, fc_b)
+
+
+def save_weights_dir(weight_dir: str, w: ResNetWeights) -> None:
+    """Inverse of load_weights_dir (the role of the reference's python
+    export pipeline that wrote the weight CSVs)."""
+    import os
+    os.makedirs(weight_dir, exist_ok=True)
+    for li, k in enumerate(w.convs):
+        np.savetxt(os.path.join(weight_dir, f"w{li}-conv.csv"),
+                   np.asarray(k).ravel(), fmt="%.17g")
+        np.savetxt(os.path.join(weight_dir, f"w{li}-a.csv"),
+                   np.asarray(w.bn_a[li]).ravel(), fmt="%.17g")
+        np.savetxt(os.path.join(weight_dir, f"w{li}-b.csv"),
+                   np.asarray(w.bn_b[li]).ravel(), fmt="%.17g")
+    np.savetxt(os.path.join(weight_dir, "final-fckernel.csv"),
+               np.asarray(w.fc_w).ravel(), fmt="%.17g")
+    np.savetxt(os.path.join(weight_dir, "final-fcbias.csv"),
+               np.asarray(w.fc_b).ravel(), fmt="%.17g")
+
+
 def conv_bn_relu_plain(x, ker, a, b, stride=1):
     y = conv2d_same_np(x, ker) * a + b
     if stride == 2:

@@ -36,6 +36,11 @@ def main():
                     help="per-layer encrypted-ct checkpoint dir — an "
                          "interrupted inference resumes from the last "
                          "completed layer (flagship runs span sessions)")
+    ap.add_argument("--keys", type=str, default=None, metavar="FILE",
+                    help="persist the switching-key cache: load FILE if "
+                         "it exists (skipping the ~20 min logN=16 "
+                         "on-device keygen), save after the first "
+                         "inference")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +79,13 @@ def main():
     runner = ResNetRunner(ctx, cfg, boot_kwargs=boot_kwargs)
     print(f"context+maps+bootstrappers built in {time.perf_counter()-t0:.1f}s",
           flush=True)
+    import os
+    if args.keys and os.path.exists(args.keys):
+        from optimal_conv_tpu.utils import serialization as ser
+        t0 = time.perf_counter()
+        n_keys = ser.load_keys(args.keys, ctx)
+        print(f"{n_keys} switching keys loaded in "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     w = random_weights(args.ker, args.depth, cfg.real_batch, seed=1)
     # widen the FC margins so argmax comparison is meaningful against the
@@ -94,6 +106,12 @@ def main():
             logits = runner.infer(image, w, timings,
                                   ckpt_dir=args.ckpt if it == 0 else None)
         total = time.perf_counter() - t0
+        if args.keys and it == 0 and not os.path.exists(args.keys):
+            from optimal_conv_tpu.utils import serialization as ser
+            t1 = time.perf_counter()
+            ser.save_keys(args.keys, ctx)
+            print(f"switching-key cache saved to {args.keys} in "
+                  f"{time.perf_counter()-t1:.1f}s", flush=True)
         plain = plain_forward(w, image, args.depth, cfg.raw_in_wids)
         print(f"Blc1: {timings['blc1']:.1f}s  Blc1->2: {timings['blc1to2']:.1f}s  "
               f"Blc2: {timings['blc2']:.1f}s  Blc2->3: {timings['blc2to3']:.1f}s  "
