@@ -26,6 +26,7 @@ import functools
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import modmath as mm
@@ -249,16 +250,23 @@ class CkksContext:
         q, qinv, r2, _, _, _, _ = p.ntt.tabs(qp)
         digits = p.digits(level)
         beta = len(digits)
-        mods_qp = [p.moduli[i] for i in qp]
         if seed is None:
             seed = int(self.rng.integers(0, 1 << 62))
         a_mont = self._uniform_mont_jax(seed, beta, qp)
-        erng = np.random.default_rng(seed ^ 0x9E3779B97F4A7C15)
-        e_ints = np.round(erng.normal(0.0, p.sigma, (beta, p.n))
-                          ).astype(np.int64)
-        e_res = np.stack([mm.centered_to_residues(e_ints[d], mods_qp)
-                          for d in range(beta)])
-        e_ntt = p.ntt.ntt(jnp.asarray(e_res), qp)
+        # error noise ON DEVICE: the host-side path built [β, L, N]
+        # residues (~100 MB) in numpy and uploaded them through the
+        # ~40 MB/s tunnel — ~2.5 s per key, the dominant keygen cost at
+        # logN=16.  jax PRNG (threefry) is deterministic per seed, so
+        # eviction-regeneration still reproduces d0 bit-identically.
+        ek = jax.random.PRNGKey((seed ^ 0x9E3779B97F4A7C15)
+                                & ((1 << 63) - 1))
+        e_i = jnp.round(jax.random.normal(ek, (beta, p.n),
+                                          dtype=jnp.float32) * p.sigma
+                        ).astype(jnp.int64)
+        pos = e_i.astype(jnp.uint64)[:, None, :]
+        neg = (-e_i).astype(jnp.uint64)[:, None, :]
+        e_res = jnp.where(e_i[:, None, :] >= 0, pos, q[None] - neg)
+        e_ntt = p.ntt.ntt(e_res, qp)
         sk = self.sk_ntt[np.asarray(qp)]
         a_s = mm.mont_mul(a_mont, sk, q, qinv)            # a·s (standard)
         # P·w_d·s_from: Montgomery-form P on the digit's Q-limb rows
