@@ -94,3 +94,30 @@ def test_resnet8_mini_resume(ctx, tmp_path, monkeypatch):
     err = np.max(np.abs(logits - plain))
     assert err < 0.15, f"resumed logits err {err}: {logits} vs {plain}"
     assert np.argmax(logits) == np.argmax(plain), (logits, plain)
+
+
+def test_resnet8_mini_cf100_split_fc(ctx):
+    """fc_out > real_batch[2] (the CIFAR-100 case) splits the head into
+    two half-width FC convs (/root/reference/test.go:291-317).  Mini
+    geometry: fc_out=8 > b3=4."""
+    cfg = ResNetConfig(ker_wid=3, depth=8, in_wids=(16, 8, 4),
+                       real_batch=(1, 2, 4), fc_out=8, cf100=True,
+                       init_pow=4.0, mid_pow=4.0, final_pow=4.0)
+    runner = ResNetRunner(
+        ctx, cfg,
+        boot_kwargs=dict(k_range=12.0, sin_deg=31, double_angle=3))
+    w = random_weights(3, 8, cfg.real_batch, fc_out=8, in_ch=1, seed=12,
+                       scale=0.7)
+    w.fc_w = w.fc_w * 6.0
+    w.fc_b = w.fc_b * 2.0
+    rng = np.random.default_rng(13)
+    raw0 = cfg.raw_in_wids[0]
+    image = rng.uniform(-1, 1, (raw0, raw0, 1))
+
+    logits = runner.infer(image, w)
+    plain = plain_forward(w, image, 8, cfg.raw_in_wids)
+
+    assert logits.shape == (8,)
+    err = np.max(np.abs(logits - plain))
+    assert err < 0.2, f"logits err {err}: enc {logits} vs plain {plain}"
+    assert np.argmax(logits) == np.argmax(plain), (logits, plain)
