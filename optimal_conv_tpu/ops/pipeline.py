@@ -22,6 +22,8 @@ the level prime (vanish on rescale); ReLU output ×2^pow restores range.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -99,6 +101,27 @@ class LayerMaps:
     r_idx_l: dict | None = None
     m_idx: dict | None = None
     m_idx_l: dict | None = None
+
+
+# OPTCONV_SYNC_STAGES=1: drain the device after each pipeline stage and
+# print its wall time — (a) the reference's per-stage prints
+# (/root/reference/eval.go:463-479) and (b) a run-ahead bound: without
+# it the whole fused layer enqueues asynchronously, and a client killed
+# mid-layer leaves the remote chip grinding an hours-deep queue,
+# unresponsive to every other client (round-3 incident, CLAUDE.md).
+_SYNC_STAGES = os.environ.get("OPTCONV_SYNC_STAGES", "0") == "1"
+
+
+def _stage_mark(name: str, val, t0: float) -> float:
+    if not _SYNC_STAGES:
+        return t0
+    from ..utils.timing import sync
+    for ct in (val if isinstance(val, tuple) else (val,)):
+        if ct is not None:
+            sync(ct.c0)
+    t1 = time.perf_counter()
+    print(f"    [{name}: {t1 - t0:.1f}s]", flush=True)
+    return t1
 
 
 def eval_conv_bn_relu(ctx: CkksContext, btps: dict[int, SplitBootstrapper],
@@ -185,11 +208,13 @@ def eval_conv_bn_relu(ctx: CkksContext, btps: dict[int, SplitBootstrapper],
     ct_conv = ct_conv.with_scale(ct_conv.scale * 2.0 ** pow_)
     if debug_hook:
         debug_hook("conv", ct_conv)
+    t0 = _stage_mark("conv", ct_conv, time.perf_counter())
 
     btp = btps[log_sparse]
     ct_up, ct_low = btp.ctos(ct_conv)
     if debug_hook:
         debug_hook("ctos", (ct_up, ct_low))
+    t0 = _stage_mark("ctos", (ct_up, ct_low), t0)
 
     boots = [ct_up, ct_low]
     for ul in range(2):
@@ -198,6 +223,7 @@ def eval_conv_bn_relu(ctx: CkksContext, btps: dict[int, SplitBootstrapper],
             boots[ul] = ctx.mul_scalar_int(r, 1 << int(pow_))
     if debug_hook:
         debug_hook("relu", tuple(boots))
+    t0 = _stage_mark("relu", tuple(boots), t0)
 
     keep = [None, None]
     for ul in range(2):
@@ -219,8 +245,10 @@ def eval_conv_bn_relu(ctx: CkksContext, btps: dict[int, SplitBootstrapper],
             keep[ul] = keep_ctxt(ctx, boots[ul], maps.ext_idx[ul])
     if debug_hook:
         debug_hook("repack", tuple(keep))
+    t0 = _stage_mark("repack", tuple(keep), t0)
 
     out = btp.stoc(keep[0], keep[1])
     if debug_hook:
         debug_hook("stoc", out)
+    _stage_mark("stoc", out, t0)
     return out
