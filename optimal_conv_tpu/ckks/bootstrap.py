@@ -575,6 +575,13 @@ class BootstrapperFamily:
             return btp
         while len(self._live) >= self.max_live:
             self._live.popitem(last=False)
+            # actually release the evicted family's device tables before
+            # building the next one — dropping the python refs alone
+            # leaves the HBM buffers to a later GC, and the new family's
+            # allocations race it to RESOURCE_EXHAUSTED (round-3 flagship
+            # OOM at the first ls switch)
+            import gc
+            gc.collect()
         btp = SplitBootstrapper(self.ctx, log_sparse=ls, **self.kwargs)
         self._live[ls] = btp
         return btp
