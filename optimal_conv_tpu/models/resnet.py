@@ -181,6 +181,12 @@ class ResNetRunner:
                 np.savez(ckpt_path, c0=np.asarray(out.c0),
                          c1=np.asarray(out.c1), level=out.level,
                          scale=out.scale, li=li)
+            # release the layer's intermediate device buffers NOW — at
+            # logN=16 the chip runs within ~1 GB of full at layer
+            # boundaries, and buffers waiting on a later GC tip the next
+            # layer's first allocation into RESOURCE_EXHAUSTED
+            import gc
+            gc.collect()
             return out
 
         pow_ = cfg.init_pow
