@@ -139,10 +139,14 @@ def prep_ker(ctx: CkksContext, ker_in: np.ndarray, bn_a: np.ndarray,
         for j in range(real_ib):
             max_ker[norm * i, in_norm * j * k_sz: in_norm * j * k_sz + k_sz] \
                 = ker_rs[i, j * k_sz: j * k_sz + k_sz]
-    out = []
-    for i in range(max_bat):
+    # only every norm-th output row is populated (max_ker[norm·i]); the
+    # pack consumer (conv_then_pack) reads exactly those — encoding the
+    # other rows built zero polynomials (at norm=16 that was 15/16 of
+    # the host encode time and ~1 GB of dead device plaintexts per conv)
+    out = [None] * max_bat
+    for i in range(0, max_bat, norm):
         coeffs = encode_ker_final(max_ker, pos, i, in_wid, max_bat, ker_wid)
-        out.append(ctx.encoder.encode_coeffs(coeffs, p.scale, ecd_lv))
+        out[i] = ctx.encoder.encode_coeffs(coeffs, p.scale, ecd_lv)
     return out
 
 
