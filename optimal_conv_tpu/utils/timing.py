@@ -47,9 +47,14 @@ def sync(*arrays):
     """
     import numpy as np
     for a in arrays:
+        if hasattr(a, "c0"):          # Ciphertext — drain its device half
+            a = a.c0
         if hasattr(a, "shape"):
             flat = a.reshape(-1) if a.ndim != 1 else a
             np.asarray(flat[:1])
+        elif not isinstance(a, (int, float, type(None))):
+            raise TypeError(f"sync: unhandled {type(a)} — timing would "
+                            "silently measure enqueue only")
 
 
 def timeit_chained(fn, x0, iters: int = 10) -> float:
