@@ -38,6 +38,11 @@ _MXU_MAX_LIMBS = int(os.environ.get("OPTCONV_MXU_MAX_LIMBS", "12"))
 # (replaces the xla_loop fallback when enabled): the compiled body
 # covers OPTCONV_MXU_SCAN_GROUP limbs, so remote compile time stays
 # bounded while the MXU still gets the matmul formulation.
+# MEASURED (round 3, v5e, [32, 2^16]): compile 37 s (vs >50 min
+# unrolled) but runtime 17.5 ms/transform vs xla_loop's 5.2 ms — the
+# byte-plane matmuls do ~8× redundant MXU work per limb and the scan
+# serializes groups, so the loop backend KEEPS the wide-stack default
+# and this stays opt-in.
 _MXU_SCAN = os.environ.get("OPTCONV_MXU_SCAN", "0") == "1"
 _MXU_SCAN_GROUP = int(os.environ.get("OPTCONV_MXU_SCAN_GROUP", "7"))
 
