@@ -63,16 +63,28 @@ class _KeyCache:
     is transparent: a miss regenerates the identical key.
     """
 
-    def __init__(self, max_bytes: int):
+    def __init__(self, max_bytes: int, expand_bytes: int | None = None):
         from collections import OrderedDict
+        # two tiers: `max_bytes` bounds the RESIDENT halves (d0 + any
+        # stored d1 of uncompressed keys); `expand_bytes` separately
+        # bounds the d1_cache memos of compressed keys.  The memos are
+        # pure re-derivable data, but regenerating one is a ~0.1 s fused
+        # kernel — a single budget made key eviction pressure drop every
+        # memo, and CtoS paid the regen on nearly every rotation.
         self.max_bytes = max_bytes
+        self.expand_bytes = max_bytes if expand_bytes is None else expand_bytes
         self.d = OrderedDict()
-        self.nbytes = 0
+        self.d0_bytes = 0
+        self.d1_bytes = 0
+
+    @property
+    def nbytes(self) -> int:
+        return self.d0_bytes + self.d1_bytes
 
     @staticmethod
-    def _size(swk: SwitchingKey) -> int:
+    def _size0(swk: SwitchingKey) -> int:
         b = swk.d0.size * 8
-        if swk.d1 is not None or swk.d1_cache is not None:
+        if swk.d1 is not None:
             b *= 2
         return b
 
@@ -84,30 +96,34 @@ class _KeyCache:
 
     def put(self, key, swk: SwitchingKey):
         self.d[key] = swk
-        self.nbytes += self._size(swk)
+        self.d0_bytes += self._size0(swk)
+        if swk.d1_cache is not None:
+            self.d1_bytes += swk.d0.size * 8
         self._trim()
 
     def note_expand(self, swk: SwitchingKey):
         """A compressed key materialized its d1_cache — charge the budget."""
-        self.nbytes += swk.d0.size * 8
+        self.d1_bytes += swk.d0.size * 8
         self._trim()
 
     def _trim(self):
-        if self.nbytes <= self.max_bytes:
-            return
-        # first pressure valve: re-compress cold keys (drop d1_cache).
-        # NEVER touch the most-recent entry — it may be the key being
-        # expanded right now (its caller holds no other reference).
-        vals = list(self.d.values())
-        for swk in vals[:-1]:
-            if self.nbytes <= self.max_bytes:
-                return
-            if swk.d1 is None and swk.d1_cache is not None:
-                swk.d1_cache = None
-                self.nbytes -= swk.d0.size * 8
-        while self.nbytes > self.max_bytes and len(self.d) > 1:
+        # memo tier: drop coldest d1_cache first.  NEVER touch the
+        # most-recent entry — it may be the key being expanded right now
+        # (its caller holds no other reference).
+        if self.d1_bytes > self.expand_bytes:
+            vals = list(self.d.values())
+            for swk in vals[:-1]:
+                if self.d1_bytes <= self.expand_bytes:
+                    break
+                if swk.d1 is None and swk.d1_cache is not None:
+                    swk.d1_cache = None
+                    self.d1_bytes -= swk.d0.size * 8
+        # resident tier: evict whole LRU keys
+        while self.d0_bytes > self.max_bytes and len(self.d) > 1:
             _, old = self.d.popitem(last=False)
-            self.nbytes -= self._size(old)
+            self.d0_bytes -= self._size0(old)
+            if old.d1_cache is not None:
+                self.d1_bytes -= old.d0.size * 8
 
 
 class CkksContext:
@@ -141,7 +157,10 @@ class CkksContext:
         self._compress_keys = (p.log_n >= 14 if comp == "auto"
                                else comp not in ("0", "off", "false"))
         budget_gb = float(os.environ.get("OPTCONV_KEY_CACHE_GB", "8"))
-        self._swk_cache = _KeyCache(int(budget_gb * (1 << 30)))
+        expand_gb = float(os.environ.get("OPTCONV_KEY_EXPAND_GB",
+                                         str(min(budget_gb, 3.0))))
+        self._swk_cache = _KeyCache(int(budget_gb * (1 << 30)),
+                                    int(expand_gb * (1 << 30)))
         self._jit_cache: dict = {}
         self._pt_cache: dict = {}
 
@@ -236,6 +255,28 @@ class CkksContext:
         return mm.add_mod(mm.mont_mul(hi, r2, q, qinv),
                           mm.mont_mul(lo, r1, q, qinv), q)
 
+    def _d1_regen_builder(self, beta: int, qp: tuple[int, ...],
+                          with_perm: bool):
+        """Fused d1 regeneration: the _uniform_mont_jax math (+ the
+        pre-permuted "galh" keys' galois permutation) as one kernel."""
+        p = self.params
+        q, qinv, r2, r1, _, _, _ = p.ntt.tabs(qp)
+        n = p.n
+        nqp = len(qp)
+
+        def f(kk, perm=None):
+            bits = jax.random.bits(kk, (4, beta, nqp, n), dtype=jnp.uint32)
+            b64 = bits.astype(jnp.uint64)
+            hi = (b64[0] << jnp.uint64(32)) | b64[1]
+            lo = (b64[2] << jnp.uint64(32)) | b64[3]
+            d1 = mm.add_mod(mm.mont_mul(hi, r2, q, qinv),
+                            mm.mont_mul(lo, r1, q, qinv), q)
+            if with_perm:
+                d1 = nttmod.apply_galois_ntt(d1, perm)
+            return d1
+
+        return f
+
     def gen_switching_key(self, s_from_ntt: jnp.ndarray, level: int,
                           seed: int | None = None) -> SwitchingKey:
         """Key switching s_from → s, generated at `level` (hybrid, P primes).
@@ -293,13 +334,18 @@ class CkksContext:
             beta = swk.d0.shape[0]
             # ensure_compile_time_eval: this may run inside a jit trace
             # (fused kernels close over keys); the memo must hold a
-            # concrete array, never a tracer
-            import jax
+            # concrete array, never a tracer.  The regeneration itself is
+            # ONE fused kernel (RNG + Montgomery folds + optional galois
+            # permutation) — the eager chain cost ~0.2-0.9 s per key and
+            # dominated CtoS whenever LRU pressure dropped d1 caches.
+            qp = self.params.qp_idx(swk.level)
             with jax.ensure_compile_time_eval():
-                d1 = self._uniform_mont_jax(
-                    swk.seed, beta, self.params.qp_idx(swk.level))
-                if swk.perm is not None:
-                    d1 = nttmod.apply_galois_ntt(d1, swk.perm)
+                fn = self._jitted(
+                    ("d1regen", beta, qp, swk.perm is not None),
+                    lambda: self._d1_regen_builder(beta, qp,
+                                                   swk.perm is not None))
+                kk = jax.random.PRNGKey(swk.seed & 0xFFFFFFFF)
+                d1 = fn(kk, swk.perm) if swk.perm is not None else fn(kk)
                 swk.d1_cache = d1
             self._swk_cache.note_expand(swk)
             # return the LOCAL reference: under extreme memory pressure
