@@ -67,6 +67,35 @@ def mod_raise(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
 # BSGS linear transform
 # ---------------------------------------------------------------------------
 
+def _bsgs_bs(keys) -> int:
+    """Baby-step modulus for a BSGS split of the diagonal index set.
+
+    The split is g,r = divmod(k, bs) — balanced (√#keys babies) ONLY if
+    bs divides the lattice the keys live on.  Grouped DFT stages have
+    indices that are all multiples of a large stride (the stage's
+    butterfly half-length), so a naive power-of-two bs makes r ≡ 0 for
+    every key: 1 baby, #keys giants, and each giant pays a full
+    non-hoisted keyswitch plus its own switching key (measured: 8.1 s
+    warm / 25.2 s under key churn for ONE CtoS stage at logN=16 — the
+    flagship's dominant cost).  Scaling bs by gcd(keys) restores the
+    √-balanced split on the stride lattice; for dense key sets
+    (gcd = 1) this is the classic split unchanged."""
+    ks = sorted(set(keys))
+    nz = [k for k in ks if k]
+    if not nz:
+        return 1
+    stride = int(np.gcd.reduce(nz))
+    n_eff = max(len(nz), 1)
+    return stride * (1 << max((int(np.ceil(np.sqrt(n_eff))) - 1)
+                              .bit_length(), 0))
+
+
+# per-phase wall seconds accumulated by LinearTransform.__call__ when
+# OPTCONV_LT_PROFILE is set (each phase device-synced — REAL time, for
+# perf work only; the syncs cost ~30 ms tunnel round-trips each)
+LT_PROF: dict[str, float] = {}
+
+
 class LinearTransform:
     """One-level BSGS diagonal transform, plaintexts precomputed.
 
@@ -93,7 +122,7 @@ class LinearTransform:
             raise ValueError("LinearTransform needs at least one diagonal")
         self.pt_scale = float(p.q_moduli[level]) if pt_scale is None else pt_scale
         keys = sorted(k % n for k in diags)
-        self.bs = 1 << max((int(np.ceil(np.sqrt(len(keys)))) - 1).bit_length(), 0)
+        self.bs = _bsgs_bs(keys)
         norm = {}
         for k, v in diags.items():
             kk = k % n
@@ -129,15 +158,43 @@ class LinearTransform:
         divides by P once per GIANT (Bossuat et al. 2021)."""
         ctx = self.ctx
         assert ct.level == self.level, (ct.level, self.level)
+        import os
+        prof = LT_PROF if os.environ.get("OPTCONV_LT_PROFILE") else None
+        if prof is not None:
+            from ..utils.timing import sync as _sync
+            import time as _time
+
+            def _mark(phase, t0, *arrs):
+                if arrs:
+                    _sync(*arrs)
+                prof[phase] = prof.get(phase, 0.0) + _time.perf_counter() - t0
+                return _time.perf_counter()
+            # split key-cache work (fetch + regen-on-miss) from compute
+            t = _time.perf_counter()
+            karrs = []
+            for r in self.babies:
+                if r % ctx.params.slots:
+                    g = nttmod.rot_to_galois(r, ctx.params.log_n)
+                    swk = ctx.galois_key_hoisted(g, self.level)
+                    karrs.append(ctx.swk_d1(swk))
+            for g, _, _ in self.stacked:
+                if g:
+                    gg = nttmod.rot_to_galois(g, ctx.params.log_n)
+                    karrs.append(ctx.swk_d1(ctx.galois_key(gg, self.level)))
+            t = _mark("keys", t, *karrs)
         if self.dh:
             lazy = ctx.rotate_hoisted_lazy(ct, self.babies)
             c0all = jnp.stack([lazy[r][0] for r in self.babies])
             c1all = jnp.stack([lazy[r][1] for r in self.babies])
             c2all = jnp.stack([lazy[r][2] for r in self.babies])
+            if prof is not None:
+                t = _mark("babies", t, c0all, c1all, c2all)
         else:
             rots = ctx.rotate_hoisted(ct, self.babies)
             c0all = jnp.stack([rots[r].c0 for r in self.babies])
             c1all = jnp.stack([rots[r].c1 for r in self.babies])
+            if prof is not None:
+                t = _mark("babies", t, c0all, c1all)
         p = ctx.params
         scale = ct.scale * self.pt_scale
         nq, nqp = self.level + 1, self.level + 1 + p.num_p
@@ -161,6 +218,8 @@ class LinearTransform:
                     ("lt_inner", self.level, ident),
                     lambda: _build_inner(ctx, self.level, ident))
                 i0, i1 = inner_f(c0all, c1all, jnp.asarray(sel), pts)
+            if prof is not None:
+                t = _mark("inner", t, i0, i1)
             if g == 0:
                 g0 = (i0, i1)
                 continue
@@ -171,6 +230,8 @@ class LinearTransform:
             gg = nttmod.rot_to_galois(g, p.log_n)
             aq0, ap0, ap1 = ctx.galois_acc(i0, i1, gg, self.level,
                                            aq0, ap0, ap1)
+            if prof is not None:
+                t = _mark("giant_acc", t, aq0, ap0, ap1)
         if aq0 is None:                      # single giant at shift 0
             o0, o1 = g0
         else:
@@ -178,7 +239,10 @@ class LinearTransform:
             g0c0, g0c1 = g0 if g0 is not None else (z, z)
             o0, o1 = ctx.ks_finish(g0c0, g0c1, aq0, ap0, ap1, self.level)
         out = Ciphertext(o0, o1, level=self.level, scale=scale)
-        return ctx.rescale(out) if self.rescale else out
+        out = ctx.rescale(out) if self.rescale else out
+        if prof is not None:
+            _mark("finish", t, out.c0, out.c1)
+        return out
 
 
 def _build_inner(ctx: CkksContext, level: int, identity: bool = False):
@@ -266,7 +330,7 @@ def plan_lt_shapes(params, log_sparse: int = 0,
 
     def shapes_of(diags_keys, level):
         keys = sorted({k % n for k in diags_keys})
-        bs = 1 << max((int(np.ceil(np.sqrt(len(keys)))) - 1).bit_length(), 0)
+        bs = _bsgs_bs(keys)
         plan: dict[int, list[int]] = {}
         for kk in keys:
             g, r = divmod(kk, bs)
