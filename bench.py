@@ -59,6 +59,44 @@ def micro_rates(iters: int = 8) -> dict:
     return out
 
 
+def lt_stage_rate(iters: int = 4) -> dict:
+    """One CtoS BSGS stage (grouped homomorphic DFT LinearTransform,
+    log_sparse=3 stage 0, production chain, level max) — the flagship's
+    hot block.  Warm-key, chained protocol.  ~1.3 s/apply post
+    gcd-balanced split (commit 1382455); was 8.1 s with the degenerate
+    1-baby split."""
+    import time
+    import jax.numpy as jnp
+    from optimal_conv_tpu.ckks.params import boot_params
+    from optimal_conv_tpu.ckks.context import CkksContext
+    from optimal_conv_tpu.ckks.types import Ciphertext
+    from optimal_conv_tpu.ckks import bootstrap as bs, dft
+    from optimal_conv_tpu.utils.timing import sync
+
+    p = boot_params(16)
+    ctx = CkksContext(p, seed=0)
+    ls = 3
+    log_nsub = p.log_slots - ls
+    reps = p.slots // (1 << log_nsub)
+    enc_st = [dft.tile(s, reps) for s in dft.encode_stages(log_nsub)]
+    lay = p.boot_layout
+    ctos_groups = lay["ctos"][1] - lay["ctos"][0] - 1
+    groups = dft.group_stages(enc_st, ctos_groups, p.slots)
+    lt = bs.LinearTransform(ctx, groups[0], p.max_level)
+    rng = np.random.default_rng(0)
+    rows = np.stack([rng.integers(0, p.moduli[i], p.n, dtype=np.uint64)
+                     for i in range(p.max_level + 1)])
+    ct = Ciphertext(jnp.asarray(rows), jnp.asarray(rows),
+                    level=p.max_level, scale=p.scale)
+    sync(lt(ct))                                # compiles + keygen
+    t0 = time.perf_counter()
+    outs = [lt(ct) for _ in range(iters)]
+    sync(outs[-1])
+    dt = (time.perf_counter() - t0) / iters
+    return {"lt_ctos_stage_ms": round(dt * 1e3, 1),
+            "lt_stages_per_sec": round(1.0 / dt, 2)}
+
+
 def main():
     import jax
 
@@ -130,14 +168,28 @@ def main():
             extra.update(micro_rates())
         except Exception as e:            # never fail the primary metric
             extra["micro_error"] = repr(e)
-    # measured-on-TPU detail from this round's full runs (flagship
-    # ResNet-20 logN=16 per-block timings, bootstrap latency, roofline)
-    # — produced by scripts/run_resnet_demo.py / bench_boot.py /
-    # roofline.py and recorded in BENCH_DETAIL.json at commit time
+        try:
+            extra.update(lt_stage_rate())
+        except Exception as e:
+            extra["lt_error"] = repr(e)
+    # Full-run detail (flagship per-block timings, bootstraps/sec,
+    # roofline) lives in BENCH_DETAIL.json — produced by
+    # scripts/run_resnet_demo.py / bench_boot.py / roofline.py and
+    # committed.  Echo only a few recorded SCALARS here: the primary
+    # metric line must stay short (the driver keeps a bounded tail of
+    # stdout, and round 3's inlined blob made it unparseable).
     detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_DETAIL.json")
     if os.path.exists(detail):
-        extra["recorded"] = json.load(open(detail))
+        try:
+            rec = json.load(open(detail))
+            br = rec.get("boot_rates", {})
+            for k in ("boots_per_sec_ls3", "boots_per_sec_ls0",
+                      "flagship_layer_s_warm"):
+                if k in br:
+                    extra[k] = br[k]
+        except Exception:
+            pass
 
     print(json.dumps({
         "metric": "encrypted_conv3x3_batch4_latency",

@@ -85,7 +85,7 @@ def _bsgs_bs(keys) -> int:
     if not nz:
         return 1
     stride = int(np.gcd.reduce(nz))
-    n_eff = max(len(nz), 1)
+    n_eff = len(nz)
     return stride * (1 << max((int(np.ceil(np.sqrt(n_eff))) - 1)
                               .bit_length(), 0))
 
@@ -169,7 +169,14 @@ class LinearTransform:
                     _sync(*arrs)
                 prof[phase] = prof.get(phase, 0.0) + _time.perf_counter() - t0
                 return _time.perf_counter()
-            # split key-cache work (fetch + regen-on-miss) from compute
+            # split key-cache work (fetch + regen-on-miss) from compute.
+            # INVARIANT (keep in sync by hand): babies use the
+            # pre-permuted HOISTED key flavor — exactly what
+            # ctx.rotate_hoisted{,_lazy} fetches below — and giants use
+            # the plain galois_key flavor fetched by the fused giant
+            # kernel; if either compute path changes its key flavor this
+            # prefetch warms/measures the wrong keys and key time leaks
+            # into the babies/giant_acc phases.
             t = _time.perf_counter()
             karrs = []
             for r in self.babies:
@@ -181,7 +188,11 @@ class LinearTransform:
                 if g:
                     gg = nttmod.rot_to_galois(g, ctx.params.log_n)
                     karrs.append(ctx.swk_d1(ctx.galois_key(gg, self.level)))
-            t = _mark("keys", t, *karrs)
+            # drain ONCE on the last handle: regen kernels serialize
+            # server-side (FIFO), and each extra host sync is a ~30 ms
+            # tunnel round-trip that would inflate the 'keys' phase by
+            # ~0.3 s per 11-key stage of pure measurement overhead.
+            t = _mark("keys", t, *karrs[-1:])
         if self.dh:
             lazy = ctx.rotate_hoisted_lazy(ct, self.babies)
             c0all = jnp.stack([lazy[r][0] for r in self.babies])

@@ -222,12 +222,16 @@ def boot_params(log_n: int = 16) -> CkksParams:
 
 
 def mini_boot_params(log_n: int = 10, n_relu: int = 2,
-                     n_mod: int = 9) -> CkksParams:
+                     n_mod: int = 9, stoc_groups: int | None = None) -> CkksParams:
     """Small bootstrappable set for unit tests (scale 2^25, q0 2^55).
 
     Same level layout structure as boot_params; pair with
     SplitBootstrapper(k_range=12, sin_deg=31, double_angle=3, h=64).
     n_mod > 9 leaves EvalMod slack for the arcsine option.
+    stoc_groups > n_stoc (2) packs extra StoC matrices onto the top StoC
+    level un-rescaled — the production chain's "3 matrices on 2 levels"
+    double-top layout (boot_params stoc_groups=3), for tests/dryruns
+    that must exercise the rescale=False LinearTransform path.
     """
     n_stoc, n_ctos = 2, 3
     logq = (55, 35) + (35,) * n_stoc + (35,) + (25,) * n_relu + (45,) * n_mod \
@@ -241,6 +245,8 @@ def mini_boot_params(log_n: int = 10, n_relu: int = 2,
         "ctos": (3 + n_stoc + n_relu + n_mod,
                  3 + n_stoc + n_relu + n_mod + n_ctos),
     }
+    if stoc_groups is not None:
+        layout["stoc_groups"] = stoc_groups
     return CkksParams(log_n=log_n, logq=logq, logp=(56, 56, 56, 56),
                       log_scale=25, h=64, sigma=3.2, boot_layout=layout)
 

@@ -206,9 +206,19 @@ def shard_ct(ct, mesh: Mesh):
 
 
 def dryrun_fused_layer(n_devices: int, log_n: int = 9) -> None:
-    """Compile + execute ONE FULL fused encrypted layer — conv+BN →
-    CtoS (LinearTransforms) → EvalMod → ReLU → keep-repack → StoC — with
+    """Compile + execute FULL fused encrypted layers — conv+BN →
+    CtoS (LinearTransforms) → EvalMod → ReLU → repack → StoC — with
     the ciphertext limb axis sharded over the mesh's tp axis.
+
+    Two legs covering all three repack evaluators under GSPMD:
+      1. Conv_sparse  — keep_ctxt repack (the flagship's steady-state
+         block layer);
+      2. StrConv_sparse — split-kernel double conv + ext_double
+         (m_idx/r_idx comprs) repack, the strided transition layer.
+    The chain uses the production double-top StoC layout (3 matrices on
+    2 levels: the first applies at √q WITHOUT rescale — boot_params
+    stoc_groups=3), so the rescale=False LinearTransform path also runs
+    sharded.
 
     This is the real model hot loop (ops/pipeline.eval_conv_bn_relu),
     not a toy step: it exercises hoisted rotations, BSGS giants with
@@ -223,35 +233,64 @@ def dryrun_fused_layer(n_devices: int, log_n: int = 9) -> None:
     from ..ops.pipeline import eval_conv_bn_relu, LayerMaps
 
     mesh = make_mesh(n_devices)
-    params = mini_boot_params(log_n, n_relu=14)
+    params = mini_boot_params(log_n, n_relu=14, stoc_groups=3)
     ctx = CkksContext(params, seed=7)
     n = params.n
-    in_wid = 16
     ker_wid = 3
+    rng = np.random.default_rng(5)
+    # ONE bootstrapper serves both legs: the Conv leg at in_wid=16 packs
+    # at ls=1, and the StrConv leg's combined stride-2 ct (ls_in=2 input
+    # at in_wid=8) bootstraps at ls_comb = ls_in-1 = 1 as well.
+    btps = {1: SplitBootstrapper(ctx, log_sparse=1, k_range=2.0,
+                                 sin_deg=7, double_angle=1)}
+
+    # ---- leg 1: Conv_sparse + keep repack -----------------------------
+    in_wid = 16
     raw = in_wid - ker_wid // 2
     max_batch = n // (in_wid * in_wid)
     ls = max(int(np.log2(max_batch)) - 1, 1)
     norm = 1 << ls
     real_b = max_batch // norm
-
-    rng = np.random.default_rng(5)
     img = rng.uniform(-0.5, 0.5, (raw, raw, real_b))
     ker = rng.uniform(-1, 1, (ker_wid, ker_wid, real_b, real_b)) / 4.0
-    bn_a = np.ones(real_b)
-    bn_b = np.zeros(real_b)
     inp = convops.prep_input(img.ravel(), raw, in_wid, n, norm)
     ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
     ct = shard_ct(ct, mesh)
-
-    btps = {ls: SplitBootstrapper(ctx, log_sparse=ls, k_range=2.0,
-                                  sin_deg=7, double_angle=1)}
     maps = LayerMaps(ext_idx=[
         rp.gen_keep_vec_sparse(n // 2, in_wid, raw, ls), None])
-    out = eval_conv_bn_relu(ctx, btps, ct, ker.ravel(), bn_a, bn_b, 0.0,
+    out = eval_conv_bn_relu(ctx, btps, ct, ker.ravel(), np.ones(real_b),
+                            np.zeros(real_b), 0.0,
                             4.0, in_wid, raw, ker_wid, real_b, real_b,
                             norm, 0, 1, 2, ls, "Conv_sparse", maps)
     got = ctx.decrypt_decode_coeffs(out)
     assert out.level >= 1 and np.all(np.isfinite(got)), "fused layer dryrun"
+
+    # ---- leg 2: StrConv_sparse + ext_double (comprs) repack -----------
+    in_wid = 8
+    raw_in = in_wid - ker_wid // 2                    # 7
+    out_wid = in_wid // 2
+    raw_out = out_wid - ker_wid // 2                  # 3
+    max_in = n // (in_wid * in_wid)
+    ls_in = 2
+    norm_in = 1 << ls_in
+    real_ib = max_in // norm_in
+    max_out = n // (out_wid * out_wid)
+    norm_out = 2 * norm_in
+    real_ob = max_out // norm_out
+    ls_comb = ls_in - 1
+    img = rng.uniform(-0.5, 0.5, (raw_in, raw_in, real_ib))
+    ker = rng.uniform(-1, 1, (ker_wid, ker_wid, real_ib, real_ob)) / 4.0
+    inp = convops.prep_input(img.ravel(), raw_in, in_wid, n, norm_in)
+    ct = ctx.encrypt(ctx.encoder.encode_coeffs(inp, params.scale, 1))
+    ct = shard_ct(ct, mesh)
+    m_idx, r_idx = rp.gen_comprs_sparse(n // 2, in_wid, raw_out, ls_comb, 0, 0)
+    maps = LayerMaps(m_idx=m_idx, r_idx=r_idx)
+    out = eval_conv_bn_relu(ctx, btps, ct, ker.ravel(), np.ones(real_ob),
+                            np.zeros(real_ob), 0.0,
+                            4.0, in_wid, raw_out, ker_wid, real_ib, real_ob,
+                            norm_out, 0, 1, 2, ls_comb, "StrConv_sparse", maps)
+    got = ctx.decrypt_decode_coeffs(out)
+    assert out.level >= 1 and np.all(np.isfinite(got)), "strconv dryrun"
 
 
 def dryrun(n_devices: int, log_n: int = 8, levels: int = 7,

@@ -38,8 +38,6 @@ def main():
     for name, fn in [("take_perm", take), ("roll", roll),
                      ("swap_roll", swaproll)]:
         f = jax.jit(fn)
-        f(xs[0])[0, 0].block_until_ready() if hasattr(
-            f(xs[0]), "block_until_ready") else None
         np.asarray(f(xs[0])[0, 0])          # warm + drain
         t0 = time.perf_counter()
         outs = [f(x) for x in xs[1:]]

@@ -41,6 +41,16 @@ def main():
                          "it exists (skipping the ~20 min logN=16 "
                          "on-device keygen), save after the first "
                          "inference")
+    ap.add_argument("--results-root", type=str, default=None, metavar="DIR",
+                    help="write per-sample enc/plain logits CSVs in the "
+                         "reference's layout (DIR/results_crop_ker{k}_"
+                         "d{depth}_wid1/{class,plain}_result_ker{k}_{i}"
+                         ".csv) for python -m optimal_conv_tpu.compare "
+                         "— resumable-sweep protocol, /root/reference/"
+                         "compare_final.py:19-64")
+    ap.add_argument("--start", type=int, default=0,
+                    help="first sample index (resume a partial sweep; "
+                         "sample i uses seed+i so indices are stable)")
     args = ap.parse_args()
 
     import jax
@@ -92,27 +102,38 @@ def main():
     # ~0.03 encrypted-evaluation noise of the mini chain
     w.fc_w = w.fc_w * 6.0
     w.fc_b = w.fc_b * 2.0
-    rng = np.random.default_rng(args.seed)
     raw0 = cfg.raw_in_wids[0]
     import contextlib
 
-    for it in range(args.n):
-        image = rng.uniform(-1, 1, (raw0, raw0, 3))
+    res_dir = None
+    if args.results_root:
+        res_dir = os.path.join(
+            args.results_root,
+            f"results_crop_ker{args.ker}_d{args.depth}_wid1")
+        os.makedirs(res_dir, exist_ok=True)
+
+    for it in range(args.start, args.start + args.n):
+        # per-sample seed: indices stay stable across partial/resumed
+        # sweeps (the reference's st..end range, test.go:76)
+        image = np.random.default_rng(args.seed + it).uniform(
+            -1, 1, (raw0, raw0, 3))
         timings = {}
+        first = it == args.start
         trace_ctx = (jax.profiler.trace(args.trace)
-                     if args.trace and it == 0 else contextlib.nullcontext())
+                     if args.trace and first else contextlib.nullcontext())
         t0 = time.perf_counter()
         with trace_ctx:
             logits = runner.infer(image, w, timings,
-                                  ckpt_dir=args.ckpt if it == 0 else None)
+                                  ckpt_dir=args.ckpt if first else None)
         total = time.perf_counter() - t0
-        if args.keys and it == 0 and not os.path.exists(args.keys):
+        if args.keys and first and not os.path.exists(args.keys):
             from optimal_conv_tpu.utils import serialization as ser
             t1 = time.perf_counter()
             ser.save_keys(args.keys, ctx)
             print(f"switching-key cache saved to {args.keys} in "
                   f"{time.perf_counter()-t1:.1f}s", flush=True)
         plain = plain_forward(w, image, args.depth, cfg.raw_in_wids)
+        print(f"[sample {it}]")
         print(f"Blc1: {timings['blc1']:.1f}s  Blc1->2: {timings['blc1to2']:.1f}s  "
               f"Blc2: {timings['blc2']:.1f}s  Blc2->3: {timings['blc2to3']:.1f}s  "
               f"Blc3: {timings['blc3']:.1f}s  FC: {timings['fc']:.1f}s")
@@ -121,6 +142,13 @@ def main():
         print("plain logits:", np.array2string(plain, precision=4))
         print("argmax agree:", int(np.argmax(logits) == np.argmax(plain)),
               flush=True)
+        if res_dir:
+            np.savetxt(os.path.join(
+                res_dir, f"class_result_ker{args.ker}_{it}.csv"), logits)
+            np.savetxt(os.path.join(
+                res_dir, f"plain_result_ker{args.ker}_{it}.csv"), plain)
+            np.savetxt(os.path.join(
+                res_dir, f"time_ker{args.ker}_{it}.csv"), [total])
 
 
 if __name__ == "__main__":
