@@ -45,6 +45,27 @@ _MXU_MAX_LIMBS = int(os.environ.get("OPTCONV_MXU_MAX_LIMBS", "12"))
 # and this stays opt-in.
 _MXU_SCAN = os.environ.get("OPTCONV_MXU_SCAN", "0") == "1"
 _MXU_SCAN_GROUP = int(os.environ.get("OPTCONV_MXU_SCAN_GROUP", "7"))
+# wide-stack looped-transform schedule:
+#   'roll'    — the round-2 uniform-stage body (dynamic-shift rolls).
+#               DEFAULT: measured fastest (fwd 6.2 / inv 5.8 ms at
+#               [32, 2^16] on v5e, of which ~3.4 ms is the fixed
+#               per-dispatch floor — the marginal per-stage cost
+#               ~0.19 ms is already near the HBM roofline).
+#   'pease'   — constant-geometry (Pease) stages: every stage reads the
+#               two N/2 halves (fwd) or even/odd pairs (inv) and writes
+#               with ONE static interleave/concat — no dynamic-shift
+#               rolls at all.  Per-stage twiddles are contiguous
+#               slice+tile of the same psi_br/ipsi_br tables (the
+#               Pease→in-place position map at stage s is a bit
+#               rotation, under which the in-place block index reduces
+#               to k mod 2^s fwd / j mod h inv); bit-identical to the
+#               in-place network, natural→bit-rev order preserved.
+#               MEASURED DEAD END on this backend (round 4): the
+#               lane-axis interleave is a cross-lane relayout Mosaic
+#               executes very slowly (one static interleave stage:
+#               44 ms!); fwd 7.0 / inv 13.9 ms under fori_loop.  Kept
+#               opt-in for future backends where relayout is cheap.
+_WIDE_NTT = os.environ.get("OPTCONV_WIDE_NTT", "roll")
 
 
 def bit_reverse_perm(n: int) -> np.ndarray:
@@ -249,6 +270,9 @@ class NttContext:
             interp = _jax.devices()[0].platform != "tpu"
             return pallas_ntt.transform(a, idx, self._ptabs(), False, interp)
         if self._loop_active(idx):
+            if _WIDE_NTT == "pease":
+                q, qinv, _, _, psi, _, _ = self.tabs(idx)
+                return _ntt_fwd_pease(a, psi, q, qinv, self.log_n)
             twA, f2, f1, _, _, _, _ = self._loop_tabs(idx)
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_fwd_loop(a, twA, f2, f1, q, qinv, self.log_n)
@@ -268,6 +292,9 @@ class NttContext:
             interp = _jax.devices()[0].platform != "tpu"
             return pallas_ntt.transform(a, idx, self._ptabs(), True, interp)
         if self._loop_active(idx):
+            if _WIDE_NTT == "pease":
+                q, qinv, _, _, _, ipsi, ninv = self.tabs(idx)
+                return _ntt_inv_pease(a, ipsi, ninv, q, qinv, self.log_n)
             _, _, _, itwB2, itwB1, itwA, ninv = self._loop_tabs(idx)
             q, qinv, _, _, _, _, _ = self.tabs(idx)
             return _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv,
@@ -510,6 +537,83 @@ def _ntt_inv_loop(a, itwB2, itwB1, itwA, ninv, q, qinv, log_n):
     x = jax.lax.fori_loop(0, la, bodyA, x)
     x = mm.mont_mul(x, ninv[..., None], q3, qi3)
     return x.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# constant-geometry (Pease) looped transforms
+# ---------------------------------------------------------------------------
+#
+# Same butterfly network and Montgomery arithmetic as the in-place
+# forms — bit-identical outputs — but EVERY stage has the same static
+# data flow: fwd reads the two N/2 halves and writes one interleave
+# (out[2j], out[2j+1]); inv reads even/odd pairs and writes the two
+# halves.  With the stage index s the only dynamic value, the fori_loop
+# body lowers to one fused elementwise pass per stage (the roll-based
+# body's dynamic shifts forced XLA to materialize shifted copies —
+# measured 5.2 ms for [32, 2^16] on v5e vs ~0.8 ms of mandatory HBM
+# traffic).
+#
+# Position-map proof sketch (verified bit-exact in tests/test_ntt_loop):
+# let π_s = rotate-right-by-s of the logN position bits.  Inductively
+# the Pease vector at stage s holds the in-place vector permuted by
+# π_s; a Pease pair (k, k+N/2) is then the in-place butterfly
+# (p, p+N/2^{s+1}) with p = π_s(k), whose block index is
+# p >> (logN-s) = k mod 2^s.  Hence the stage-s twiddle vector is the
+# CONTIGUOUS slice psi_br[2^s : 2^{s+1}] tiled N/2^{s+1} times — no
+# gather.  After logN stages π_logN = identity: the output lands in the
+# same bit-reversed order as the in-place network.  The inverse runs
+# the mirror schedule (σ_s = rotate-left) with twiddle slice
+# ipsi_br[h : 2h], h = N/2^{s+1}, tiled.
+
+def _pease_planes(tab, log_n, inverse):
+    """[logN, l, N/2] per-stage twiddle planes, assembled on device from
+    the resident [l, N] table by static slice+tile (built once per call
+    inside the enclosing jit; ~2·l·N·8 bytes transient)."""
+    n = 1 << log_n
+    half = n // 2
+    planes = []
+    for s in range(log_n):
+        m = half >> s if inverse else 1 << s     # slice [m : 2m], tiled
+        sl = tab[..., m:2 * m]
+        planes.append(jnp.tile(sl, (1, half // m)))
+    return jnp.stack(planes)
+
+
+@functools.partial(jax.jit, static_argnames="log_n")
+def _ntt_fwd_pease(a, psi_br, q, qinv, log_n):
+    n = 1 << log_n
+    half = n // 2
+    shape = a.shape
+    planes = _pease_planes(psi_br, log_n, inverse=False)
+
+    def body(s, x):
+        u = x[..., :half]
+        v = x[..., half:]
+        tw = jax.lax.dynamic_index_in_dim(planes, s, 0, keepdims=False)
+        t = mm.mont_mul(v, tw, q, qinv)
+        ab = jnp.stack([mm.add_mod(u, t, q), mm.sub_mod(u, t, q)], axis=-1)
+        return ab.reshape(shape)
+
+    return jax.lax.fori_loop(0, log_n, body, a)
+
+
+@functools.partial(jax.jit, static_argnames="log_n")
+def _ntt_inv_pease(a, ipsi_br, n_inv, q, qinv, log_n):
+    n = 1 << log_n
+    half = n // 2
+    shape = a.shape
+    planes = _pease_planes(ipsi_br, log_n, inverse=True)
+
+    def body(s, x):
+        x2 = x.reshape(shape[:-1] + (half, 2))
+        u = x2[..., 0]
+        v = x2[..., 1]
+        tw = jax.lax.dynamic_index_in_dim(planes, s, 0, keepdims=False)
+        d = mm.mont_mul(mm.sub_mod(u, v, q), tw, q, qinv)
+        return jnp.concatenate([mm.add_mod(u, v, q), d], axis=-1)
+
+    a = jax.lax.fori_loop(0, log_n, body, a)
+    return mm.mont_mul(a, n_inv, q, qinv)
 
 
 @functools.partial(jax.jit, static_argnames="log_n")
