@@ -25,6 +25,8 @@ repack 1 (45b); StoC 3 (45b) → level 1 = conv's ECD level.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..core import ntt as nttmod
@@ -380,6 +382,62 @@ def plan_lt_shapes(params, log_sparse: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# EvalMod cosine approximation
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def fit_cos_poly(sin_deg: int, k_range: float, double_angle: int,
+                 method: str = "cheby", msg_ratio_bits: int = 8,
+                 payload_bits: int = 1) -> np.ndarray:
+    """Chebyshev-basis coefficients approximating
+    cos(2πK/2^r · y − π/2^{r+1}) on y ∈ [-1, 1], the double-angle seed
+    of EvalMod (fork: ckks/bettersine, ReLUEvalModuli).
+
+    method='cheby' (production default): plain Chebyshev interpolation
+    over the full domain.  Error budget MEASURED at the production
+    config (deg 63, K=25, r=2, msg_ratio 2^-8): the composite error
+    after the double angles is 2^-25.4 over the valid input set — 12
+    bits BELOW the 2^-13.3 sine floor (θ−sinθ distortion) that both
+    this and the fork's bettersine (ArcSineDeg 0) sit at, so the
+    simpler fit loses nothing (tests/test_evalmod_budget.py pins it).
+
+    method='minimax': Lawson-iterated least squares restricted to the
+    valid input set ∪_i [i/K ± ε], ε = 2^{payload_bits-msg_ratio_bits}/K
+    — the Han–Ki-style interval fit.  Composite error 2^-33.6 at the
+    same degree: +8 bits of headroom that only matter in arcsine mode
+    (arcsine_deg > 0 removes the sine floor).  Degree cannot drop:
+    deg 47 reaches only 2^-8.7 and deg 31 diverges after the double
+    angles, so the fork's deg-63 choice is tight either way.
+    """
+    r = double_angle
+    freq = 2 * np.pi * k_range / (1 << r)
+    phi = np.pi / 2 / (1 << r)
+
+    def g(y):
+        return np.cos(freq * y - phi)
+
+    if method == "cheby":
+        return np.polynomial.chebyshev.Chebyshev.interpolate(
+            g, sin_deg, domain=[-1.0, 1.0]).coef
+    if method != "minimax":
+        raise ValueError(f"sin_method={method!r}: use cheby|minimax")
+    kk = int(k_range)
+    eps = 2.0 ** (payload_bits - msg_ratio_bits) / k_range
+    grid = [np.linspace(i / k_range - eps, i / k_range + eps, 501)
+            for i in range(-kk + 1, kk)]
+    u = np.concatenate(grid)
+    v = np.polynomial.chebyshev.chebvander(u, sin_deg)
+    t = g(u)
+    w = np.ones(len(u))
+    for _ in range(40):                       # Lawson → near-minimax on U
+        sol, *_ = np.linalg.lstsq(v * w[:, None], t * w, rcond=None)
+        e = np.abs(v @ sol - t)
+        w *= np.sqrt(e + 1e-300)
+        w /= w.max()
+    return sol
+
+
+# ---------------------------------------------------------------------------
 # Split bootstrapper
 # ---------------------------------------------------------------------------
 
@@ -390,7 +448,7 @@ class SplitBootstrapper:
                  k_range: float = 25.0,
                  sin_deg: int = 63, double_angle: int = 2,
                  msg_ratio_bits: int = 8, stoc_level: int | None = None,
-                 arcsine_deg: int = 0):
+                 arcsine_deg: int = 0, sin_method: str = "cheby"):
         """stoc_level: top level of the StoC transforms.  Default (None)
         uses the chain layout's dedicated low StoC levels — the split
         pipeline order (…ReLU → repack → StoC → conv).  The baseline
@@ -485,14 +543,9 @@ class SplitBootstrapper:
         self.post_ctos_level = lvl
 
         # ---- EvalMod: cosine chebyshev + double angle ------------------
-        r = double_angle
-        freq = 2 * np.pi * k_range / (1 << r)
-
-        def g(y):
-            return np.cos(freq * y - np.pi / 2 / (1 << r))
-
-        self.sin_cheb = np.polynomial.chebyshev.Chebyshev.interpolate(
-            g, sin_deg, domain=[-1.0, 1.0]).coef
+        self.sin_cheb = fit_cos_poly(sin_deg, k_range, double_angle,
+                                     method=sin_method,
+                                     msg_ratio_bits=msg_ratio_bits)
 
         # ---- StoC groups (forward DFT stages, bit-rev input) -----------
         dec_st = [dft.tile(s, reps) for s in dft.decode_stages(self.log_nsub)]
