@@ -24,6 +24,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=8, choices=(8, 14, 20))
     ap.add_argument("--ker", type=int, default=3, choices=(3, 5, 7))
+    ap.add_argument("--wide", type=int, default=1, choices=(1, 2, 3),
+                    help="widen factor (sparse-regime runner; wide 2/3 "
+                         "use the reference's doubled/tripled channel "
+                         "plan, /root/reference/test.go:638-912)")
+    ap.add_argument("--cf100", action="store_true",
+                    help="CIFAR-100 dual-FC head (fc_out=100, "
+                         "/root/reference/test.go:291-317)")
     ap.add_argument("--logn", type=int, default=14)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n", type=int, default=1)
@@ -64,17 +71,32 @@ def main():
     from optimal_conv_tpu.models.resnet import ResNetConfig, ResNetRunner
 
     logn = args.logn
+    base_rb = {1: (16, 32, 64), 2: (32, 64, 128), 3: (48, 96, 192)}[args.wide]
     if logn >= 14:
         w0 = int(np.sqrt((1 << logn) / 64))      # so max_batch[0] = 64
-        rb = (16, 32, 64)
+        rb = base_rb
     else:
         # keep spatial widths ≥ 4: shrink channels instead (same norms)
         w0 = 16
-        rb = tuple(b * (1 << logn) // (1 << 14) for b in (16, 32, 64))
+        rb = tuple(b * (1 << logn) // (1 << 14) for b in base_rb)
+    fc_out = 100 if args.cf100 else 10
+    if args.cf100 and fc_out // 2 > rb[2]:
+        # mini geometry: keep the dual-conv split-FC path exercised but
+        # fit the halves in the final real batch (logN=16 runs the
+        # true 100-class head: 50 <= b3)
+        fc_out = 2 * rb[2]
+        print(f"mini cf100: fc_out scaled to {fc_out}")
+    # wide>1: the 3→init_batch first layer shrinks with the grid
+    # (reference init_batch=16, test.go:645); the 3 input channels need
+    # init_batch ≥ 4, so mini wide runs need --logn ≥ 12
+    init_batch = max(1, 16 * (1 << logn) // (1 << 14))
+    if args.wide > 1 and init_batch < 4:
+        ap.error("--wide 2/3 needs --logn >= 12 (init_batch >= 4)")
     cfg = ResNetConfig(ker_wid=args.ker, depth=args.depth,
                        in_wids=(w0, w0 // 2, w0 // 4),
                        real_batch=rb, init_pow=5.0, mid_pow=5.0,
-                       final_pow=5.0)
+                       final_pow=5.0, wide=args.wide, cf100=args.cf100,
+                       fc_out=fc_out, init_batch=init_batch)
     boot_kwargs = {}
     if logn >= 15:
         params = boot_params(logn)
@@ -83,7 +105,8 @@ def main():
         boot_kwargs = dict(k_range=12.0, sin_deg=31, double_angle=3)
 
     print(f"logN={logn} in_wids={cfg.in_wids} real_batch={cfg.real_batch} "
-          f"depth={args.depth} ker={args.ker}", flush=True)
+          f"depth={args.depth} ker={args.ker} wide={args.wide}"
+          f"{' cf100' if args.cf100 else ''}", flush=True)
     t0 = time.perf_counter()
     ctx = CkksContext(params, seed=0)
     runner = ResNetRunner(ctx, cfg, boot_kwargs=boot_kwargs)
@@ -97,7 +120,9 @@ def main():
         print(f"{n_keys} switching keys loaded in "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
 
-    w = random_weights(args.ker, args.depth, cfg.real_batch, seed=1)
+    w = random_weights(args.ker, args.depth, cfg.real_batch, fc_out=fc_out,
+                       seed=1,
+                       init_batch=cfg.init_batch if args.wide > 1 else None)
     # widen the FC margins so argmax comparison is meaningful against the
     # ~0.03 encrypted-evaluation noise of the mini chain
     w.fc_w = w.fc_w * 6.0
@@ -109,7 +134,8 @@ def main():
     if args.results_root:
         res_dir = os.path.join(
             args.results_root,
-            f"results_crop_ker{args.ker}_d{args.depth}_wid1")
+            f"results_{'cf100_' if args.cf100 else ''}crop_ker{args.ker}"
+            f"_d{args.depth}_wid{args.wide}")
         os.makedirs(res_dir, exist_ok=True)
 
     for it in range(args.start, args.start + args.n):

@@ -26,3 +26,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# Two-tier suite (round-4 VERDICT #10): tests marked `slow_e2e` are
+# redundant-coverage end-to-end minis (every regime keeps at least one
+# default-tier e2e); they run only with OPTCONV_SLOW=1 so the default
+# `pytest tests/ -q` stays under the 20-minute budget on a warm cache.
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow_e2e: opt-in heavy e2e (run with OPTCONV_SLOW=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("OPTCONV_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow_e2e tier: set OPTCONV_SLOW=1")
+    for item in items:
+        if "slow_e2e" in item.keywords:
+            item.add_marker(skip)

@@ -31,6 +31,7 @@ def test_layout_level_walk():
     assert all(PARAMS.logq[i] == PARAMS.log_scale for i in range(lo, hi))
 
 
+@pytest.mark.slow_e2e
 def test_full_roundtrip_production(ctx):
     btp = SplitBootstrapper(ctx, log_sparse=0)
     v = RNG.uniform(-1, 1, PARAMS.n)

@@ -134,6 +134,7 @@ def test_plan_lt_shapes_matches_real_bootstrapper(ctx, ls):
     assert planned == real, (sorted(planned), sorted(real))
 
 
+@pytest.mark.slow_e2e
 def test_arcsine_beats_sine_floor():
     """The arcsine option (Lattigo ArcSineDeg; the fork pins 0): at
     msg_ratio_bits=5 the payload/q0 ratio is 8x the fork's 2^-8 floor

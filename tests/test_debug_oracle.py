@@ -38,6 +38,7 @@ def check_history(oracle, min_bits=4.0):
         assert avg > min_bits, f"stage {stage} precision {avg} bits"
 
 
+@pytest.mark.slow_e2e
 def test_oracle_strconv_sparse(ctx):
     """Golden oracle through a StrConv_sparse layer: the conv-stage
     expected vector models the split-kernel even/odd interleave."""

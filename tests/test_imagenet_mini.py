@@ -24,6 +24,7 @@ def ctx():
     return CkksContext(PARAMS, seed=23)
 
 
+@pytest.mark.slow_e2e
 def test_imagenet_tail_mini(ctx):
     runner = ImagenetTailRunner(
         ctx, ker_wid=3, num_blc=(1, 1),

@@ -6,6 +6,7 @@ single-device path.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -134,6 +135,7 @@ def test_coeff_axis_sharding_matches_single_device():
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(ref[0]))
 
 
+@pytest.mark.slow_e2e
 def test_sharded_fused_layer_bit_exact():
     """The FULL fused layer (conv+BN → CtoS → ReLU → repack → StoC) with
     the limb axis tp-sharded over the 8-device mesh produces EXACTLY the

@@ -52,6 +52,7 @@ def test_sign_composite_plain_is_signlike():
     assert np.all(np.abs(s - np.sign(x)) < 0.01)
 
 
+@pytest.mark.slow_e2e
 def test_eval_relu(ctx):
     x = RNG.uniform(-1, 1, PARAMS.slots)
     ct = enc_slots(ctx, x)

@@ -23,6 +23,7 @@ def ctx():
     return CkksContext(PARAMS, seed=23)
 
 
+@pytest.mark.slow_e2e
 def test_resnet8_wide3_mini(ctx):
     cfg = ResNetConfig(ker_wid=3, depth=8, in_wids=(16, 8, 4),
                        real_batch=(4, 8, 16), wide=3, init_batch=4,

@@ -31,6 +31,7 @@ def ctx():
     return CkksContext(PARAMS, seed=19)
 
 
+@pytest.mark.slow_e2e
 def test_resnet8_wide2_fast_mini_end_to_end(ctx):
     cfg = ResNetConfig(ker_wid=3, depth=8, in_wids=(16, 8, 4),
                        real_batch=(2, 4, 8), wide=2, init_batch=1, fc_out=4,
