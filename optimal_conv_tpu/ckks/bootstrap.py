@@ -39,6 +39,30 @@ from .polyeval import evaluate_chebyshev, _depth_of as _depth_of_deg
 import jax.numpy as jnp
 
 
+# Sub-phase timing inside ctos/stoc, gated by the same env as the
+# pipeline's stage marks (OPTCONV_SYNC_STAGES=1).  Each mark drains the
+# device on the given arrays, so the printed seconds are real — this is
+# how the 21.9 s steady-state ctos (66% of a flagship layer) and the
+# ~1000 s first-ctos-per-process get attributed (round-5; VERDICT #5).
+def _phase_t0():
+    import os
+    import time
+    if os.environ.get("OPTCONV_SYNC_STAGES", "0") != "1":
+        return None
+    return time.perf_counter()
+
+
+def _phase_mark(name, t0, *arrs):
+    if t0 is None:
+        return None
+    import time
+    from ..utils.timing import sync
+    sync(*arrs)
+    t1 = time.perf_counter()
+    print(f"      [{name}: {t1 - t0:.1f}s]", flush=True)
+    return t1
+
+
 # ---------------------------------------------------------------------------
 # ModRaise
 # ---------------------------------------------------------------------------
@@ -591,26 +615,33 @@ class SplitBootstrapper:
         """
         ctx = self.ctx
         p = ctx.params
+        t0 = _phase_t0()
         ct = mod_raise(ctx, ct)
         # SubSum: project onto the stride-2^ls subring (kills inter-stride
         # garbage; scales kept coeffs by 2^ls — folded into the diagonals)
         for j in range(self.ls):
             g = (2 * p.n) // (1 << (j + 1)) + 1
             ct = ctx.add(ct, ctx.apply_galois(ct, g))
-        for lt in self.ctos_lt:
+        t0 = _phase_mark("ctos.raise+subsum", t0, ct.c0)
+        for i, lt in enumerate(self.ctos_lt):
             ct = lt(ct)
+            t0 = _phase_mark(f"ctos.lt{i}", t0, ct.c0)
         if self.ls == 0:
             cj = ctx.conjugate(ct)
             up = ctx.add(ct, cj)
             low = ctx.div_by_i(ctx.sub(ct, cj))
             up = self._eval_mod(up)
             low = self._eval_mod(low)
+            _phase_mark("ctos.evalmod2x", t0, up.c0, low.c0)
             return up, low
         cj = ctx.conjugate(ct)
         a = ctx.mul_plain(ct, self.fold_a_pt)
         b = ctx.mul_plain(cj, self.fold_b_pt)
         folded = ctx.rescale(ctx.add(a, b))
-        return self._eval_mod(folded), None
+        t0 = _phase_mark("ctos.fold", t0, folded.c0)
+        out = self._eval_mod(folded)
+        _phase_mark("ctos.evalmod", t0, out.c0)
+        return out, None
 
     def _eval_mod(self, ct: Ciphertext) -> Ciphertext:
         """values y = payload/(K·q0) → values payload/Δ0, scale ≈ Δ."""
@@ -632,11 +663,14 @@ class SplitBootstrapper:
             prev = np.sqrt(scales[-1] * p.q_moduli[lc - r + 1 + i])
             scales.append(prev)
         s_t = scales[-1]
+        t0 = _phase_t0()
         c = evaluate_chebyshev(ctx, ct, self.sin_cheb, -1.0, 1.0, s_t,
                                tight=self.em_tight)
+        t0 = _phase_mark("evalmod.cheb", t0, c.c0)
         for i in range(r):
             sq = ctx.rescale(ctx.mul_ct(c, c))
             c = ctx.add_const(ctx.mul_scalar_int(sq, 2), -1.0)
+        t0 = _phase_mark("evalmod.dblang", t0, c.c0)
         if self.arcsine_deg:
             # θ = asin(sin θ) exactly (|θ| = 2π·|payload|/q0 < π/2):
             # removes the sin distortion instead of the ≈x linearization
@@ -660,8 +694,10 @@ class SplitBootstrapper:
         lvl0 = self.stoc_lt[0].level
         if ct.level > lvl0:
             ct = ctx.drop_level(ct, ct.level - lvl0)
-        for lt in self.stoc_lt:
+        t0 = _phase_t0()
+        for i, lt in enumerate(self.stoc_lt):
             ct = lt(ct)
+            t0 = _phase_mark(f"stoc.lt{i}", t0, ct.c0)
         return ct
 
 
@@ -710,6 +746,12 @@ class BootstrapperFamily:
             # OOM at the first ls switch)
             import gc
             gc.collect()
+        import time
+        t0 = time.perf_counter()
         btp = SplitBootstrapper(self.ctx, log_sparse=ls, **self.kwargs)
+        # host-side wall time: diagonal encode + (async) table upload —
+        # the uploads drain into the first ctos apply
+        print(f"    btp family ls={ls} built in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
         self._live[ls] = btp
         return btp

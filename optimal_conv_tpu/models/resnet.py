@@ -187,6 +187,25 @@ class ResNetRunner:
             # layer's first allocation into RESOURCE_EXHAUSTED
             import gc
             gc.collect()
+            import os as _os
+            if _os.environ.get("OPTCONV_HBM_STATS") == "1":
+                # leak curve for the cross-layer HBM accumulation
+                # (round-4 hbm_findings): print device stats per layer
+                try:
+                    import jax
+                    ms = jax.devices()[0].memory_stats() or {}
+                    print("    [hbm "
+                          + " ".join(f"{k}={v}" for k, v in sorted(ms.items())
+                                     if "bytes" in k or "size" in k)
+                          + "]", flush=True)
+                except Exception as e:       # backend may not support it
+                    print(f"    [hbm stats unavailable: {e}]", flush=True)
+            if _os.environ.get("OPTCONV_CLEAR_CACHES") == "1":
+                # mitigation experiment: drop live executables (and their
+                # baked-in device constants) between layers — costs a
+                # re-trace/lowering per kernel on the next layer
+                import jax
+                jax.clear_caches()
             return out
 
         pow_ = cfg.init_pow
@@ -251,6 +270,10 @@ class ResNetRunner:
 
         logits = self._fc_head(ct, w)
         tm["fc"] = time.perf_counter() - t0
+        if ckpt_path is not None and os.path.exists(ckpt_path):
+            # inference complete — a stale layer-18 ckpt would make the
+            # NEXT sample resume from this sample's activations
+            os.remove(ckpt_path)
         return logits
 
     def _fc_head(self, ct, w: ResNetWeights) -> np.ndarray:

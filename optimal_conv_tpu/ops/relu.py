@@ -70,9 +70,14 @@ def eval_relu(ctx: CkksContext, ct: Ciphertext, alpha: float = 0.0,
             lo = max(ct.level - depth_total, 0)
             tight = all(np.log2(p.q_moduli[l]) - p.log_scale >= 12.0
                         for l in range(lo, ct.level + 1))
+    from ..ckks.bootstrap import _phase_t0, _phase_mark
+    t0 = _phase_t0()
     s = evaluate_poly(ctx, ct, SIGN_POLY_1, scale, tight=tight)
+    t0 = _phase_mark("relu.p1", t0, s.c0)
     s = evaluate_poly(ctx, s, SIGN_POLY_2, scale, tight=tight)
+    t0 = _phase_mark("relu.p2", t0, s.c0)
     s = evaluate_poly(ctx, s, SIGN_POLY_3 * b_const, scale, tight=tight)
+    t0 = _phase_mark("relu.p3", t0, s.c0)
     s = ctx.add_const(s, a_const)
     x = ctx.drop_level(ct, ct.level - s.level)
     prod = ctx.mul_ct(s, x)

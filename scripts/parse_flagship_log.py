@@ -22,8 +22,15 @@ layers = {}
 blocks = {}
 total = None
 pending = {}
+leg_re = re.compile(r"^=== leg \d+ ")
 for path in sys.argv[1:]:
+    # stage lines from a leg that died mid-layer must not attach to the
+    # next leg's first completed layer
+    pending = {}
     for line in open(path):
+        if leg_re.match(line):
+            pending = {}
+            continue
         m = stage_re.search(line)
         if m:
             pending[m.group(1)] = float(m.group(2))

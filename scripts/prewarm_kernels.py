@@ -43,7 +43,23 @@ def main():
                     help="comma-separated log_sparse list: aot-compile "
                          "every LinearTransform inner kernel those "
                          "bootstrappers will jit (plan_lt_shapes)")
+    ap.add_argument("--dh", type=int, default=None, choices=(0, 1),
+                    help="compile the double-hoisted (1) or plain (0) "
+                         "lt_inner/hoist kernel flavor.  DEFAULT 0 at "
+                         "--logn 16: the flagship recipe runs "
+                         "OPTCONV_DOUBLE_HOIST=0 (run_resnet_demo sets "
+                         "it), and prewarming the WRONG flavor cost a "
+                         "5365 s layer in round 4 (BENCH_DETAIL "
+                         "one_time_costs_measured)")
     args = ap.parse_args()
+
+    import os
+    if args.dh is None:
+        args.dh = 0 if args.logn >= 16 else int(
+            os.environ.get("OPTCONV_DOUBLE_HOIST", "1") != "0")
+    os.environ["OPTCONV_DOUBLE_HOIST"] = str(args.dh)
+    print(f"prewarming the OPTCONV_DOUBLE_HOIST={args.dh} kernel flavor",
+          flush=True)
 
     import jax
     if args.cpu:

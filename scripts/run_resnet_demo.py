@@ -60,9 +60,26 @@ def main():
                          "sample i uses seed+i so indices are stable)")
     args = ap.parse_args()
 
+    import os
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    elif args.logn >= 16:
+        # fold the proven flagship recipe into the defaults (round-4
+        # measurements, BENCH_DETAIL round4_flagship_postfix_steady_state):
+        # 4 GB key budget + double-hoist OFF is the only config that
+        # sustains warm layers on one v5e (8/5 GB OOM after 1-2 layers);
+        # per-stage syncs make the logged stage times real.  Each is
+        # overridable by exporting the var before launch.
+        for var, val in (("OPTCONV_KEY_CACHE_GB", "4"),
+                         ("OPTCONV_DOUBLE_HOIST", "0"),
+                         ("OPTCONV_SYNC_STAGES", "1")):
+            os.environ.setdefault(var, val)
+        print("flagship env: " + " ".join(
+            f"{v}={os.environ[v]}" for v in
+            ("OPTCONV_KEY_CACHE_GB", "OPTCONV_DOUBLE_HOIST",
+             "OPTCONV_SYNC_STAGES")), flush=True)
 
     import numpy as np
     from optimal_conv_tpu.ckks.params import boot_params, mini_boot_params
@@ -88,14 +105,19 @@ def main():
         print(f"mini cf100: fc_out scaled to {fc_out}")
     # wide>1: the 3→init_batch first layer shrinks with the grid
     # (reference init_batch=16, test.go:645); the 3 input channels need
-    # init_batch ≥ 4, so mini wide runs need --logn ≥ 12
-    init_batch = max(1, 16 * (1 << logn) // (1 << 14))
+    # init_batch ≥ 4, so mini wide runs need --logn ≥ 12.  Capped at the
+    # reference's 16 for logn ≥ 14 — scaling past it would push real_ob
+    # rows beyond max_batch in prep_ker at the flagship geometry.
+    init_batch = max(1, 16 * min(1 << logn, 1 << 14) // (1 << 14))
     if args.wide > 1 and init_batch < 4:
         ap.error("--wide 2/3 needs --logn >= 12 (init_batch >= 4)")
+    # cf100 widens the final ReLU range like the reference sparse driver
+    # (final_pow 7.0 for ker3 / 6.0 for ker5, test.go:85-97)
+    final_pow = (7.0 if args.ker == 3 else 6.0) if args.cf100 else 5.0
     cfg = ResNetConfig(ker_wid=args.ker, depth=args.depth,
                        in_wids=(w0, w0 // 2, w0 // 4),
                        real_batch=rb, init_pow=5.0, mid_pow=5.0,
-                       final_pow=5.0, wide=args.wide, cf100=args.cf100,
+                       final_pow=final_pow, wide=args.wide, cf100=args.cf100,
                        fc_out=fc_out, init_batch=init_batch)
     boot_kwargs = {}
     if logn >= 15:
