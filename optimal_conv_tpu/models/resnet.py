@@ -292,6 +292,7 @@ class ResNetRunner:
         return np.concatenate([lo, hi])
 
     def _fc_conv(self, ct, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndarray:
+        from ..ckks.bootstrap import _phase_t0, _phase_mark
         ctx, cfg = self.ctx, self.cfg
         raw2 = cfg.raw_in_wids[2]
         kw = raw2 if raw2 % 2 == 1 else raw2 + 1
@@ -300,10 +301,13 @@ class ResNetRunner:
         # kernel [kw, kw, b3, n_out], every tap = fc weight
         ker = np.broadcast_to(fc_w[None, None], (kw, kw, b3, n_out)).copy()
         bn_a = np.full(n_out, 1.0 / (raw2 * raw2))
+        t0 = _phase_t0()
         out = convops.eval_conv_bn(ctx, ct, ker.ravel(), bn_a,
                                    np.asarray(fc_b), cfg.in_wids[2], kw, b3,
                                    n_out, self.norm[2], float(1 << 30))
+        t0 = _phase_mark("fc.conv", t0, out.c0)
         cfs = ctx.decrypt_decode_coeffs(out)
+        _phase_mark("fc.dec", t0)
         # logits at spatial position (kw/2+1, kw/2+1), channel stride norm
         mb = self.max_batch[2]
         ctr = (kw // 2) * cfg.in_wids[2] * mb + (kw // 2) * mb
