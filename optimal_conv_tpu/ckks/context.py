@@ -63,8 +63,10 @@ class _KeyCache:
     is transparent: a miss regenerates the identical key.
     """
 
-    def __init__(self, max_bytes: int, expand_bytes: int | None = None):
+    def __init__(self, max_bytes: int, expand_bytes: int | None = None,
+                 policy: str | None = None):
         from collections import OrderedDict
+        import os
         # two tiers: `max_bytes` bounds the RESIDENT halves (d0 + any
         # stored d1 of uncompressed keys); `expand_bytes` separately
         # bounds the d1_cache memos of compressed keys.  The memos are
@@ -76,6 +78,21 @@ class _KeyCache:
         self.d = OrderedDict()
         self.d0_bytes = 0
         self.d1_bytes = 0
+        # eviction policy: a fused layer touches its key set CYCLICALLY
+        # (CtoS stages → relu → repack → StoC, repeated every layer);
+        # when the working set exceeds the budget, LRU evicts every key
+        # right before its next use (0% hit — the flagship's measured
+        # 4-6 s/stage "churn" regime, BENCH_DETAIL bsgs_stride_fix).
+        # "mru" evicts the most-recently-used entry instead, which under
+        # a cyclic scan pins the first ~budget's-worth of keys resident
+        # (hit rate (C-1)/W instead of 0).  Every 8th eviction still
+        # takes the LRU end so a pinned-but-stale set (e.g. after a
+        # log_sparse family switch changes the key tags) drains instead
+        # of starving the new working set forever.
+        if policy is None:
+            policy = os.environ.get("OPTCONV_KEY_EVICT", "mru")
+        self.evict_mru = policy == "mru"
+        self._evict_n = 0
 
     @property
     def nbytes(self) -> int:
@@ -118,9 +135,18 @@ class _KeyCache:
                 if swk.d1 is None and swk.d1_cache is not None:
                     swk.d1_cache = None
                     self.d1_bytes -= swk.d0.size * 8
-        # resident tier: evict whole LRU keys
+        # resident tier: evict whole keys.  mru: drop the SECOND-most-
+        # recent entry (the most recent is the key just inserted/fetched
+        # — its caller may hold no other reference); lru: drop coldest.
         while self.d0_bytes > self.max_bytes and len(self.d) > 1:
-            _, old = self.d.popitem(last=False)
+            self._evict_n += 1
+            if self.evict_mru and (self._evict_n % 8 or len(self.d) == 2):
+                it = reversed(self.d)
+                next(it)
+                k = next(it)
+                old = self.d.pop(k)
+            else:
+                _, old = self.d.popitem(last=False)
             self.d0_bytes -= self._size0(old)
             if old.d1_cache is not None:
                 self.d1_bytes -= old.d0.size * 8

@@ -112,7 +112,12 @@ def main():
             print(f"RESULT iters_before_oom={it} clear_caches="
                   f"{args.clear_caches} delete={args.delete}", flush=True)
             return
-        msg = f"ITER {it}: ok in {time.perf_counter()-t:.1f}s"
+        # client-side census: if this stays flat while the device OOMs,
+        # the accumulation is server-side (or executable-embedded
+        # constants), not python-held buffers
+        live = sum(a.nbytes for a in jax.live_arrays())
+        msg = (f"ITER {it}: ok in {time.perf_counter()-t:.1f}s  "
+               f"client-live={live/2**30:.2f}GiB")
         if args.delete:
             for buf in (out.c0, out.c1):
                 try:

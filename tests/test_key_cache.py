@@ -34,7 +34,7 @@ SZ = 2 * 3 * 16 * 8          # d0 bytes of one _mk key (768)
 
 
 def test_resident_tier_lru_eviction():
-    c = _KeyCache(max_bytes=3 * SZ + 1)
+    c = _KeyCache(max_bytes=3 * SZ + 1, policy="lru")
     ks = [_mk() for _ in range(4)]
     for i, k in enumerate(ks[:3]):
         c.put(i, k)
@@ -47,6 +47,28 @@ def test_resident_tier_lru_eviction():
     big = _mk(compressed=False)
     c.put(4, big)                         # 2*SZ -> evicts 0 then 2
     assert 4 in c.d and c.d0_bytes <= c.max_bytes
+
+
+def test_resident_tier_mru_eviction_cyclic():
+    """The default 'mru' policy: under a cyclic scan whose working set
+    exceeds the budget (a fused layer's CtoS→…→StoC key cycle), the
+    early keys stay resident and hit every cycle — LRU would miss every
+    access (the flagship's measured 4-6 s/stage key-churn regime)."""
+    cap, w = 4, 6
+    c = _KeyCache(max_bytes=cap * SZ + 1, policy="mru")
+    hits = 0
+    for cycle in range(4):
+        for k in range(w):
+            if c.get(k) is not None:
+                hits += 1
+            else:
+                c.put(k, _mk())
+    assert c.d0_bytes <= c.max_bytes
+    # after warmup, each cycle hits the pinned cap-1 keys (minus the
+    # occasional every-8th LRU-side eviction)
+    assert hits >= (cap - 2) * 3, hits
+    # never evicts the just-inserted entry
+    assert w - 1 in c.d
 
 
 def test_resident_tier_never_evicts_last_entry():
