@@ -189,6 +189,13 @@ class CkksContext:
                                     int(expand_gb * (1 << 30)))
         self._jit_cache: dict = {}
         self._pt_cache: dict = {}
+        # exec-cache salt: kernels bake the moduli tables in as
+        # constants — and the conv-pack kernel even bakes its Galois
+        # switching keys (secret-key-derived) — so the serialized-
+        # executable digest must carry the full chain identity AND the
+        # context seed (utils/exec_cache.JitProxy)
+        self._params_fp = repr((p.log_n, tuple(p.moduli), p.log_scale,
+                                p.h, p.num_p, seed))
 
     def _key_seed(self, tag) -> int:
         """Deterministic per-key seed: eviction + regeneration yields the
@@ -200,11 +207,18 @@ class CkksContext:
     def _jitted(self, key, builder, donate_argnums=()):
         """Per-(name, level) compiled kernels; tables are captured as
         constants at trace time, key data (swk digits, permutations)
-        stay runtime args so one compilation serves every key."""
+        stay runtime args so one compilation serves every key.
+
+        Backed by the serialized-executable disk cache (utils/
+        exec_cache): on the TPU platform a process restart deserializes
+        the compiled kernel in ~60 ms instead of re-tracing + re-lowering
+        it (30-100 s per logN=16 kernel — the flagship legs' measured
+        ~1700-2400 s first-layer tax)."""
         f = self._jit_cache.get(key)
         if f is None:
-            import jax
-            f = jax.jit(builder(), donate_argnums=donate_argnums)
+            from ..utils.exec_cache import JitProxy
+            f = JitProxy(key, builder(), donate_argnums=donate_argnums,
+                         salt=self._params_fp)
             self._jit_cache[key] = f
         return f
 

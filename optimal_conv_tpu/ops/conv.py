@@ -303,7 +303,8 @@ def _conv_pack_kernel(ctx: CkksContext, max_ob: int, norm: int,
             r0 = mm.add_mod(r0, bias, q0)
         return r0, r1
 
-    f = jax.jit(fused)
+    from ..utils.exec_cache import JitProxy
+    f = JitProxy(key, fused, salt=ctx._params_fp)
     ctx._jit_cache[key] = f
     return f
 
