@@ -1,9 +1,13 @@
 #!/bin/bash
-# Flagship leg driver: the axon backend accumulates HBM across layers
-# (server-side memo of per-call buffers — see CLAUDE.md round-4 notes),
-# so a single-process 19-layer run OOMs every ~2-3 layers.  This loop
-# resumes from the per-layer ckpt until the sample completes, exactly
-# the round-3 manual protocol, automated.
+# Flagship leg driver.  Root cause of the cross-layer OOMs (round-5
+# repro, BENCH_DETAIL round5_hbm_leak_root_cause): HBM RESIDENCY grows
+# as the model touches new (op, level) kernels — each loaded executable
+# holds its baked-in constants on device — plus per-family DFT tables
+# and keys; it is NOT per-execution retention (12x the same layer in
+# one process is flat).  Blocks 1-2 now run whole in one leg (with
+# OPTCONV_BTP_LIVE=1 even across family switches); block 3 (ls=4) sits
+# at the 16 GB ceiling and restarts per layer.  This loop resumes from
+# the per-layer ckpt until the sample completes.
 #
 #   scripts/flagship_legs.sh <logfile> [extra run_resnet_demo args...]
 set -u
